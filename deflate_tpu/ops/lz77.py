@@ -1,0 +1,158 @@
+"""Vectorized LZ77 match finding and parsing for one 32 KiB block.
+
+Reference analog: `class LZ77` (deflate.hpp:190-385).  Its fast path walks a
+mutable hash-chain table position by position and is *incorrect* (emits stale
+offsets — SURVEY.md B1); its best path is an O(n^2) scalar scan.  The
+TPU-native design replaces both with data-parallel passes, all deterministic:
+
+  1. candidates: hash every 3-byte window, sort (hash, position) pairs — each
+     position's K most recent same-hash predecessors are its chain, exactly
+     the hash-chain semantics but produced by one sort instead of a serial
+     table. (XLA sort on 32k keys.)
+  2. extension: all candidates extend simultaneously, 4 bytes per round via
+     u32 gathers, with a while-loop that stops when no lane is still running.
+  3. selection: per position keep the longest match, nearest on ties
+     (matches the reference's level-3 tie rule, quirk Q4).
+  4. parse: greedy (fast) or one-step lazy (best); the token set = positions
+     reachable from 0 through next[i] = i + max(len_i, 1), computed by
+     pointer doubling in log2(n) scatter/gather rounds instead of a serial
+     walk.
+
+Everything is jittable and vmaps over blocks.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from deflate_tpu.utils.tables import BLOCK_SIZE, MAX_MATCH, MIN_MATCH
+
+HASH_BITS = 15
+HASH_MUL = jnp.uint32(0x9E3779B1)
+
+
+def _le_u32(block: jax.Array) -> jax.Array:
+    """u32 little-endian load at every byte position (tail zero-padded)."""
+    n = block.shape[0]
+    b = block.astype(jnp.uint32)
+    z = jnp.zeros((3,), jnp.uint32)
+    bb = jnp.concatenate([b, z])
+    return (bb[:n] | (bb[1:n + 1] << 8) | (bb[2:n + 2] << 16)
+            | (bb[3:n + 3] << 24))
+
+
+def find_matches(block: jax.Array, blen: jax.Array, num_cands: int,
+                 max_rounds: int = (MAX_MATCH + 6) // 4):
+    """Best match (length, distance) at every position of one block.
+
+    block: uint8 [n] (n = BLOCK_SIZE, zero padding past blen)
+    blen:  int32 scalar — valid bytes
+    num_cands: static chain depth K (4 for fast, 16+ for best)
+
+    Returns (length int32 [n], dist int32 [n]); length < MIN_MATCH means no
+    usable match at that position.
+    """
+    n = block.shape[0]
+    u32 = _le_u32(block)
+    tri = u32 & jnp.uint32(0x00FFFFFF)
+    h = ((tri * HASH_MUL) >> (32 - HASH_BITS)).astype(jnp.int32)
+
+    pos = jnp.arange(n, dtype=jnp.int32)
+    valid = pos < blen - (MIN_MATCH - 1)          # a 3-byte window exists
+    # key packs (hash, position); invalid positions sort to the back and
+    # carry a unique hash so they never chain with real ones
+    key = jnp.where(valid, h * n + pos, (1 << 30) + pos)
+    skey = jnp.sort(key)
+    spos = (skey % n).astype(jnp.int32)
+    shash = (skey // n).astype(jnp.int32)
+
+    # K most recent predecessors in the same hash bucket
+    cands = []
+    for k in range(1, num_cands + 1):
+        prev = jnp.concatenate([jnp.full((k,), -1, jnp.int32), spos[:-k]])
+        ph = jnp.concatenate([jnp.full((k,), -1, jnp.int32), shash[:-k]])
+        cands.append(jnp.where(ph == shash, prev, -1))
+    cand_sorted = jnp.stack(cands, axis=1)        # [n, K] in sorted order
+    cand = jnp.zeros((n, num_cands), jnp.int32).at[spos].set(cand_sorted)
+
+    ok = cand >= 0                                 # [n, K]
+    ci = jnp.where(ok, cand, 0)
+
+    # parallel extension, 4 bytes per round
+    limit = jnp.minimum(MAX_MATCH, blen - pos)     # [n]
+    limit = jnp.maximum(limit, 0)
+
+    def round_cond(st):
+        _, active, r = st
+        return (r < max_rounds) & jnp.any(active)
+
+    def round_body(st):
+        mlen, active, r = st
+        off = r * 4
+        a = u32[jnp.clip(pos[:, None] + off, 0, n - 1)]
+        b = u32[jnp.clip(ci + off, 0, n - 1)]
+        x = a ^ b
+        # bytes equal in this round: 0..4 via trailing-zero count of xor /8
+        eq4 = x == 0
+        # first differing byte: lowest set bit of x
+        lsb = x & (jnp.uint32(0) - x)
+        nb = jnp.where(eq4, 4,
+             jnp.where(lsb & jnp.uint32(0xFF), 0,
+             jnp.where(lsb & jnp.uint32(0xFF00), 1,
+             jnp.where(lsb & jnp.uint32(0xFF0000), 2, 3)))).astype(jnp.int32)
+        add = jnp.where(active, nb, 0)
+        mlen = mlen + add
+        active = active & eq4
+        return mlen, active, r + 1
+
+    mlen0 = jnp.zeros((n, num_cands), jnp.int32)
+    mlen, _, _ = jax.lax.while_loop(round_cond, round_body, (mlen0, ok, 0))
+    mlen = jnp.minimum(mlen, limit[:, None])
+    mlen = jnp.where(ok & valid[:, None], mlen, 0)
+
+    dist = pos[:, None] - ci                        # [n, K] (>=1 where ok)
+
+    # drop marginal far matches (zlib "too_far" heuristic): len==3 & dist>4096
+    mlen = jnp.where((mlen == MIN_MATCH) & (dist > 4096), 0, mlen)
+
+    # longest match wins; candidates are ordered nearest-first, and argmax
+    # returns the first maximum, so ties go to the smallest distance (Q4)
+    best_k = jnp.argmax(mlen, axis=1)
+    blen_ = jnp.take_along_axis(mlen, best_k[:, None], 1)[:, 0]
+    bdist = jnp.take_along_axis(dist, best_k[:, None], 1)[:, 0]
+    blen_ = jnp.where(blen_ >= MIN_MATCH, blen_, 0)
+    bdist = jnp.where(blen_ >= MIN_MATCH, bdist, 0)
+    return blen_, bdist
+
+
+def lazy_filter(length: jax.Array, dist: jax.Array):
+    """One-step lazy matching: defer to i+1 when it has a strictly longer
+    match (zlib-style; done *correctly*, unlike reference B1/Q4)."""
+    nxt = jnp.concatenate([length[1:], jnp.zeros((1,), length.dtype)])
+    keep = length >= nxt
+    return jnp.where(keep, length, 0), jnp.where(keep, dist, 0)
+
+
+def greedy_parse(length: jax.Array, blen: jax.Array):
+    """Token positions of the greedy parse, via pointer doubling.
+
+    length: int32 [n] — chosen match length per position (0/1/2 = literal).
+    Returns mark bool [n]: True where a token (literal or match) starts.
+    Positions >= blen are never marked.
+    """
+    n = length.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    step = jnp.where(length >= MIN_MATCH, length, 1)
+    nxt = jnp.minimum(pos + step, n)               # n = absorbing sentinel
+
+    # jump table with sentinel slot
+    g = jnp.concatenate([nxt, jnp.array([n], jnp.int32)])     # [n+1]
+    mark = jnp.zeros((n + 1,), jnp.bool_).at[0].set(True)
+    levels = max(1, (n - 1).bit_length())
+    for _ in range(levels):
+        # mark ∪ g(mark): scatter current marks through the jump table
+        tgt = jnp.where(mark, g, n)
+        mark = mark.at[tgt].max(mark)
+        g = g[g]                                    # double the jump
+    mark = mark[:n] & (pos < blen)
+    return mark
