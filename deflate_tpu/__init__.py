@@ -1,0 +1,111 @@
+"""deflate_tpu — a TPU-native DEFLATE (RFC 1951) codec built on JAX.
+
+Public API mirrors the reference library's surface (deflate.hpp:753-815,
+inflate.hpp:324-408) with a correctness upgrade: every level round-trips
+bit-exactly (the reference's level 2 emits corrupt streams — SURVEY.md B1).
+
+    compress(data, level=2) -> bytes          # raw DEFLATE
+    compress_file(src, dst, level=2)
+    decompress(data, out_size=None) -> bytes  # raw DEFLATE
+    decompress_zlib(data) -> bytes            # RFC 1950 container
+    decompress_file(src, dst)
+
+Levels: 0 stored, 1 Huffman-only, 2 fast (hash-chain), 3 best (lazy).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from deflate_tpu.models import host_inflate as _hi
+from deflate_tpu.runtime import stitch as _stitch
+from deflate_tpu.utils.tables import BLOCK_SIZE
+
+InflateError = _hi.InflateError
+
+__all__ = ["compress", "compress_file", "decompress", "decompress_zlib",
+           "decompress_file", "compress_zlib", "InflateError"]
+
+_BATCH_BUCKETS = (1, 8, 64)
+
+
+def _as_u8(data) -> np.ndarray:
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        return np.frombuffer(bytes(data), dtype=np.uint8)
+    a = np.asarray(data)
+    if a.dtype != np.uint8:
+        raise TypeError(f"expected bytes or uint8 array, got {a.dtype}")
+    return a.reshape(-1)
+
+
+def _bucket(n: int) -> int:
+    for b in _BATCH_BUCKETS:
+        if n <= b:
+            return b
+    return _BATCH_BUCKETS[-1]
+
+
+def compress(data, level: int = 2) -> bytes:
+    """Compress to a raw DEFLATE stream (decodable by zlib wbits=-15)."""
+    import jax.numpy as jnp
+
+    from deflate_tpu.models import encoder as E
+
+    if not 0 <= level <= 3:
+        raise ValueError(f"level must be 0..3, got {level}")
+    buf = _as_u8(data)
+    nblocks = max(1, -(-len(buf) // BLOCK_SIZE))
+    segments = []
+    done = 0
+    while done < nblocks:
+        B = _bucket(nblocks - done)
+        take = min(B, nblocks - done)
+        blocks = np.zeros((B, BLOCK_SIZE), np.uint8)
+        blens = np.zeros((B,), np.int32)
+        for i in range(take):
+            chunk = buf[(done + i) * BLOCK_SIZE:(done + i + 1) * BLOCK_SIZE]
+            blocks[i, :len(chunk)] = chunk
+            blens[i] = len(chunk)
+        live = np.arange(B) < take
+        final_idx = (take - 1) if done + take == nblocks else -1
+        words, total = E.encode_batch(
+            jnp.asarray(blocks), jnp.asarray(blens), jnp.asarray(live),
+            jnp.int32(final_idx), level)
+        segments.append((np.asarray(words), int(total)))
+        done += take
+    out_words, out_bits = _stitch.stitch_segments(segments)
+    return _stitch.words_to_bytes(out_words, out_bits)
+
+
+def decompress(data, out_size: int | None = None) -> bytes:
+    """Decompress a raw DEFLATE stream."""
+    return _hi.inflate_raw(bytes(data), out_size)
+
+
+def decompress_zlib(data) -> bytes:
+    """Decompress a zlib-wrapped (RFC 1950) stream, verifying Adler-32."""
+    return _hi.inflate_zlib(bytes(data))
+
+
+def compress_zlib(data, level: int = 2) -> bytes:
+    """Compress into a zlib (RFC 1950) container — the reference can only
+    *read* zlib streams; we also write them."""
+    raw = compress(data, level)
+    hdr = bytes([0x78, 0x01])            # CM=8, CINFO=7, FCHECK -> 0x7801
+    adler = _hi.adler32(bytes(data) if not isinstance(data, bytes) else data)
+    return hdr + raw + adler.to_bytes(4, "big")
+
+
+def compress_file(src: str, dst: str, level: int = 2) -> None:
+    with open(src, "rb") as f:
+        data = f.read()
+    out = compress(data, level)
+    with open(dst, "wb") as f:
+        f.write(out)
+
+
+def decompress_file(src: str, dst: str) -> None:
+    with open(src, "rb") as f:
+        data = f.read()
+    out = decompress(data)
+    with open(dst, "wb") as f:
+        f.write(out)

@@ -1,0 +1,279 @@
+"""The DEFLATE encoder pipeline — one jitted program per (batch, level).
+
+Reference analog: `realCompress` + `compressBuffer` (deflate.hpp:630-752).
+The reference materializes BOTH fixed and dynamic candidate bitstreams per
+block and picks the smaller (quirk Q3, 2x encode work).  Here candidate sizes
+are computed *analytically* from histograms (a dot product with the code
+length tables), so only the winning encoding is ever emitted.
+
+Stage structure (SURVEY.md §7):
+  A. per-block, fully parallel (vmap):  LZ77 tokens -> symbol histograms ->
+     dynamic trees + header fields -> candidate bit sizes
+  B. cross-block scan (B steps, trivial): exact block-type choice and bit
+     offsets — stored blocks need the stream bit phase for their byte-align
+     padding (reference: nextByteBoundary, deflate.hpp:117-127)
+  C. per-block, fully parallel: emit chosen encoding via the prefix-sum bit
+     packer; stored payloads are injected by a whole-block funnel shift, not
+     per-byte entries
+  D. bit-exact concatenation at the scanned offsets.
+
+Levels (reference levels deflate.hpp:675-679, but all of ours are CORRECT —
+the reference's level 2 emits wrong bytes, B1):
+  0 = stored only, 1 = Huffman only, 2 = fast (hash chains, greedy),
+  3 = best (deeper chains + lazy matching).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deflate_tpu.ops import bitpack as BP
+from deflate_tpu.ops import header as HDR
+from deflate_tpu.ops import huffman as H
+from deflate_tpu.ops import lz77 as LZ
+from deflate_tpu.utils import tables as T
+
+N = T.BLOCK_SIZE
+NT = N + 1                      # token slots incl. end-of-block
+# worst case block: stored = 3 hdr + 7 pad + 32 len/nlen + 8*32768 data bits
+MAX_BLOCK_BITS = 3 + 7 + 32 + 8 * N
+WB = MAX_BLOCK_BITS // 32 + 2   # per-block word capacity
+
+CH_STORED, CH_FIXED, CH_DYN = 0, 1, 2
+
+_J = lambda a: jnp.asarray(a)
+
+
+def tokenize_block(block, blen, level: int):
+    """LZ77 parse of one block into fixed-size token arrays.
+
+    Returns dict with [NT]-shaped arrays: lit_sym (litlen symbol per token,
+    256 at slot `ntok`), match_len, match_dist, is_match, live, plus ntok.
+    """
+    if level >= 2:
+        K = 4 if level == 2 else 16
+        length, dist = LZ.find_matches(block, blen, K)
+        if level >= 3:
+            length, dist = LZ.lazy_filter(length, dist)
+    else:
+        length = jnp.zeros((N,), jnp.int32)
+        dist = jnp.zeros((N,), jnp.int32)
+    mark = LZ.greedy_parse(length, blen)
+    ntok = jnp.sum(mark.astype(jnp.int32))
+    tidx = jnp.cumsum(mark.astype(jnp.int32)) - mark.astype(jnp.int32)
+    pos = jnp.arange(N, dtype=jnp.int32)
+    tok_pos = jnp.full((NT,), N, jnp.int32).at[
+        jnp.where(mark, tidx, NT - 1)].set(jnp.where(mark, pos, N),
+                                           mode="drop")
+
+    tp = jnp.clip(tok_pos, 0, N - 1)
+    valid = tok_pos < N
+    L = jnp.where(valid, length[tp], 0)
+    D = jnp.where(valid, dist[tp], 0)
+    is_match = valid & (L >= T.MIN_MATCH)
+    lit = block[tp].astype(jnp.int32)
+
+    slot = jnp.arange(NT, dtype=jnp.int32)
+    is_eob = slot == ntok
+    live = (slot < ntok) | is_eob
+    lcode = _J(T.LENGTH_TO_CODE)[jnp.clip(L, 0, T.MAX_MATCH)]
+    lit_sym = jnp.where(is_eob, 256,
+                        jnp.where(is_match, 257 + lcode, lit))
+    lit_sym = jnp.where(live, lit_sym, 0)
+    return {"lit_sym": lit_sym, "len": L, "dist": D,
+            "is_match": is_match & live, "live": live, "ntok": ntok}
+
+
+def block_plan(block, blen, level: int):
+    """Stage A for one block: tokens, trees, header fields, candidate sizes."""
+    tk = tokenize_block(block, blen, level)
+    live_i = tk["live"].astype(jnp.int32)
+    match_i = tk["is_match"].astype(jnp.int32)
+
+    hist_lit = jnp.zeros((T.NUM_LITLEN,), jnp.int32).at[
+        tk["lit_sym"]].add(live_i)
+    dcode = _J(T.DIST_TO_CODE)[jnp.clip(tk["dist"], 0, T.WINDOW_SIZE)]
+    hist_dist = jnp.zeros((30,), jnp.int32).at[
+        jnp.where(tk["is_match"], dcode, 0)].add(match_i)
+
+    lcode = jnp.clip(tk["lit_sym"] - 257, 0, 28)
+    len_eb = jnp.where(tk["is_match"], _J(T.LENGTH_EXTRA)[lcode], 0)
+    dist_eb = jnp.where(tk["is_match"], _J(T.DIST_EXTRA)[dcode], 0)
+    extra_total = jnp.sum(len_eb + dist_eb)
+
+    dyn_lit_lens = H.huffman_code_lengths(hist_lit, T.MAX_CODE_LEN)
+    dyn_dist_lens = H.huffman_code_lengths(hist_dist, T.MAX_CODE_LEN)
+    hv, hl, header_bits = HDR.emit_dynamic_header(dyn_lit_lens,
+                                                   dyn_dist_lens)
+
+    fixed_bits = (3 + jnp.sum(hist_lit * _J(T.FIXED_LITLEN_LENGTHS))
+                  + jnp.sum(hist_dist * _J(T.FIXED_DIST_LENGTHS)[:30])
+                  + extra_total)
+    dyn_bits = (3 + header_bits + jnp.sum(hist_lit * dyn_lit_lens)
+                + jnp.sum(hist_dist * dyn_dist_lens) + extra_total)
+
+    return {"tk": tk, "dcode": dcode, "len_eb": len_eb, "dist_eb": dist_eb,
+            "dyn_lit_lens": dyn_lit_lens, "dyn_dist_lens": dyn_dist_lens,
+            "header_vals": hv, "header_lens": hl,
+            "fixed_bits": fixed_bits, "dyn_bits": dyn_bits}
+
+
+def choose_blocks(fixed_bits, dyn_bits, blens, live, level: int):
+    """Stage B: exact per-block type choice + bit offsets (lax.scan over B).
+
+    Mirrors the reference's pick-min ladder (deflate.hpp:739-746) but with
+    the stored-block byte-align padding computed exactly from the running
+    stream phase.  Returns (choice, pad, offset, bits) each int32 [B].
+    """
+    def step(offset, x):
+        fb, db, bl, lv = x
+        pad = (-(offset + 3)) & 7
+        stored = 3 + pad + 32 + 8 * bl
+        if level == 0:
+            choice = jnp.int32(CH_STORED)
+        elif level == 1:
+            choice = jnp.where(stored <= jnp.minimum(fb, db), CH_STORED,
+                               jnp.where(fb <= db, CH_FIXED, CH_DYN))
+        else:
+            choice = jnp.where(stored <= jnp.minimum(fb, db), CH_STORED,
+                               jnp.where(fb <= db, CH_FIXED, CH_DYN))
+        bits = jnp.where(choice == CH_STORED, stored,
+                         jnp.where(choice == CH_FIXED, fb, db))
+        bits = jnp.where(lv, bits, 0)
+        pad = jnp.where(lv, pad, 0)
+        return offset + bits, (choice, pad, offset, bits)
+
+    _, (choice, pad, offset, bits) = jax.lax.scan(
+        step, jnp.int32(0), (fixed_bits, dyn_bits, blens, live))
+    return choice, pad, offset, bits
+
+
+def emit_block(block, blen, plan, choice, pad, bfinal):
+    """Stage C: emit one block's chosen encoding into a word buffer."""
+    tk = plan["tk"]
+    stored = choice == CH_STORED
+    fixed = choice == CH_FIXED
+    dyn = choice == CH_DYN
+
+    # --- code tables for the huffman paths ---
+    dyn_lit_codes, _ = H.canonical_codes(plan["dyn_lit_lens"])
+    dyn_dist_codes, _ = H.canonical_codes(plan["dyn_dist_lens"])
+    fx_lit_codes, _ = H.canonical_codes(_J(T.FIXED_LITLEN_LENGTHS))
+    fx_dist_codes, _ = H.canonical_codes(_J(T.FIXED_DIST_LENGTHS))
+
+    lit_codes = jnp.where(dyn, dyn_lit_codes, fx_lit_codes[:T.NUM_LITLEN])
+    lit_lens = jnp.where(dyn, plan["dyn_lit_lens"], _J(T.FIXED_LITLEN_LENGTHS))
+    dist_codes = jnp.where(dyn, dyn_dist_codes, fx_dist_codes[:30])
+    dist_lens = jnp.where(dyn, plan["dyn_dist_lens"],
+                          _J(T.FIXED_DIST_LENGTHS)[:30])
+
+    # --- token entries: (lit code, len extra, dist code, dist extra) ---
+    s = tk["lit_sym"]
+    live_tok = tk["live"] & ~stored
+    lc = jnp.clip(s - 257, 0, 28)
+    e_lit_v = lit_codes[s]
+    e_lit_l = jnp.where(live_tok, lit_lens[s], 0)
+    e_le_v = tk["len"] - _J(T.LENGTH_BASE)[lc]
+    e_le_l = jnp.where(live_tok & tk["is_match"], plan["len_eb"], 0)
+    dc = plan["dcode"]
+    e_dc_v = dist_codes[dc]
+    e_dc_l = jnp.where(live_tok & tk["is_match"], dist_lens[dc], 0)
+    e_de_v = tk["dist"] - _J(T.DIST_BASE)[dc]
+    e_de_l = jnp.where(live_tok & tk["is_match"], plan["dist_eb"], 0)
+    tok_vals = jnp.stack([e_lit_v, e_le_v, e_dc_v, e_de_v], 1).reshape(-1)
+    tok_lens = jnp.stack([e_lit_l, e_le_l, e_dc_l, e_de_l], 1).reshape(-1)
+
+    # --- preamble entries ---
+    btype = jnp.where(stored, 0, jnp.where(fixed, 1, 2))
+    hdr3 = jnp.stack([bfinal.astype(jnp.int32) | (btype << 1),
+                      jnp.int32(0),              # stored byte-align padding
+                      blen, blen ^ 0xFFFF])      # LEN, NLEN
+    hdr3_l = jnp.stack([jnp.int32(3),
+                        jnp.where(stored, pad, 0),
+                        jnp.where(stored, 16, 0),
+                        jnp.where(stored, 16, 0)])
+
+    hv = plan["header_vals"]
+    hl = jnp.where(dyn, plan["header_lens"], 0)
+
+    vals = jnp.concatenate([hdr3, hv, tok_vals])
+    lens = jnp.concatenate([hdr3_l, hl, tok_lens])
+    words, nbits = BP.pack_bits(vals, lens, WB)
+
+    # --- stored payload: whole-block funnel shift into place ---
+    b4 = block.astype(jnp.uint32).reshape(-1, 4)
+    w = (b4[:, 0] | (b4[:, 1] << 8) | (b4[:, 2] << 16) | (b4[:, 3] << 24))
+    t = 35 + pad                     # bit offset of the payload
+    k = t >> 5
+    r = (t & 31).astype(jnp.uint32)
+    prev = jnp.concatenate([jnp.zeros((1,), jnp.uint32), w[:-1]])
+    sh = (w << r) | jnp.where(r == 0, jnp.uint32(0),
+                              prev >> (jnp.uint32(32) - r))
+    tail = jnp.where(r == 0, jnp.uint32(0), w[-1] >> (jnp.uint32(32) - r))
+    nw = w.shape[0]
+    tgt = jnp.arange(nw, dtype=jnp.int32) + k
+    inject = jnp.zeros((WB,), jnp.uint32).at[tgt].add(
+        jnp.where(stored, sh, 0), mode="drop")
+    inject = inject.at[k + nw].add(jnp.where(stored, tail, 0), mode="drop")
+    words = words | inject
+    # zero any payload bits beyond the stored length
+    end = jnp.where(stored, t + 8 * blen, nbits)
+    widx = jnp.arange(WB, dtype=jnp.int32)
+    full_words = widx < (end >> 5)
+    partial = widx == (end >> 5)
+    keep = jnp.where(
+        full_words, jnp.uint32(0xFFFFFFFF),
+        jnp.where(partial,
+                  jnp.where((end & 31) == 0, jnp.uint32(0),
+                            (jnp.uint32(1) << (end & 31).astype(jnp.uint32))
+                            - 1),
+                  jnp.uint32(0)))
+    return words & keep
+
+
+@partial(jax.jit, static_argnames=("level",))
+def encode_batch(blocks, blens, live, final_idx, level: int):
+    """Encode B blocks into one contiguous bitstream segment.
+
+    blocks:    uint8 [B, 32768] (zero padded)
+    blens:     int32 [B] valid bytes per block
+    live:      bool  [B] — padding blocks excluded from the stream
+    final_idx: int32 — stream-global index of the BFINAL block, or -1
+    Returns (words uint32 [B*WB], total_bits int32).
+    """
+    B = blocks.shape[0]
+    plans = jax.vmap(lambda b, l: block_plan(b, l, level))(blocks, blens)
+    choice, pad, offset, bits = choose_blocks(
+        plans["fixed_bits"], plans["dyn_bits"], blens, live, level)
+    bfinal = jnp.arange(B) == final_idx
+    words = jax.vmap(
+        lambda bl, ln, i, ch, pd, bf: emit_block(
+            bl, ln, jax.tree.map(lambda x: x[i], plans), ch, pd, bf)
+    )(blocks, blens, jnp.arange(B), choice, pad, bfinal)
+    words = jnp.where(live[:, None], words, 0)
+
+    total = jnp.sum(bits)
+    # concat at the scanned offsets
+    base = (offset >> 5).astype(jnp.int32)
+    s = (offset & 31).astype(jnp.uint32)
+    prev = jnp.concatenate([jnp.zeros((B, 1), jnp.uint32), words[:, :-1]], 1)
+    sh = s[:, None]
+    shifted = (words << sh) | jnp.where(sh == 0, jnp.uint32(0),
+                                        prev >> (jnp.uint32(32) - sh))
+    tail = jnp.where(s == 0, jnp.uint32(0),
+                     words[:, -1] >> (jnp.uint32(32) - s))
+    tgt = base[:, None] + jnp.arange(WB, dtype=jnp.int32)[None, :]
+    out = jnp.zeros((B * WB,), jnp.uint32)
+    out = out.at[tgt.reshape(-1)].add(shifted.reshape(-1), mode="drop")
+    out = out.at[base + WB].add(tail, mode="drop")
+    return out, total
+
+
+def plan_sizes(blocks, blens, live, level: int):
+    """Size-only planning (no emission) — used by tests and stats."""
+    plans = jax.vmap(lambda b, l: block_plan(b, l, level))(blocks, blens)
+    return choose_blocks(plans["fixed_bits"], plans["dyn_bits"], blens, live,
+                         level)
