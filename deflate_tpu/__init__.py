@@ -56,6 +56,7 @@ def compress(data, level: int = 2) -> bytes:
     nblocks = max(1, -(-len(buf) // BLOCK_SIZE))
     segments = []
     done = 0
+    phase = 0                  # stream bit phase at the segment boundary
     while done < nblocks:
         B = _bucket(nblocks - done)
         take = min(B, nblocks - done)
@@ -69,8 +70,9 @@ def compress(data, level: int = 2) -> bytes:
         final_idx = (take - 1) if done + take == nblocks else -1
         words, total = E.encode_batch(
             jnp.asarray(blocks), jnp.asarray(blens), jnp.asarray(live),
-            jnp.int32(final_idx), level)
+            jnp.int32(final_idx), level, jnp.int32(phase))
         segments.append((np.asarray(words), int(total)))
+        phase = (phase + int(total)) & 7
         done += take
     out_words, out_bits = _stitch.stitch_segments(segments)
     return _stitch.words_to_bytes(out_words, out_bits)

@@ -121,12 +121,17 @@ def block_plan(block, blen, level: int):
             "fixed_bits": fixed_bits, "dyn_bits": dyn_bits}
 
 
-def choose_blocks(fixed_bits, dyn_bits, blens, live, level: int):
+def choose_blocks(fixed_bits, dyn_bits, blens, live, level: int,
+                  phase0=0):
     """Stage B: exact per-block type choice + bit offsets (lax.scan over B).
 
     Mirrors the reference's pick-min ladder (deflate.hpp:739-746) but with
     the stored-block byte-align padding computed exactly from the running
-    stream phase.  Returns (choice, pad, offset, bits) each int32 [B].
+    stream phase.  `phase0` is the absolute bit offset of this segment's
+    start in the whole stream (only phase0 mod 8 matters) — segments are
+    stitched back-to-back at bit granularity, so stored-block padding must
+    see the global phase.  Returns (choice, pad, offset, bits) each int32
+    [B]; offsets are absolute (include phase0).
     """
     def step(offset, x):
         fb, db, bl, lv = x
@@ -147,7 +152,7 @@ def choose_blocks(fixed_bits, dyn_bits, blens, live, level: int):
         return offset + bits, (choice, pad, offset, bits)
 
     _, (choice, pad, offset, bits) = jax.lax.scan(
-        step, jnp.int32(0), (fixed_bits, dyn_bits, blens, live))
+        step, jnp.int32(phase0), (fixed_bits, dyn_bits, blens, live))
     return choice, pad, offset, bits
 
 
@@ -235,19 +240,23 @@ def emit_block(block, blen, plan, choice, pad, bfinal):
 
 
 @partial(jax.jit, static_argnames=("level",))
-def encode_batch(blocks, blens, live, final_idx, level: int):
+def encode_batch(blocks, blens, live, final_idx, level: int, phase0=0):
     """Encode B blocks into one contiguous bitstream segment.
 
     blocks:    uint8 [B, 32768] (zero padded)
     blens:     int32 [B] valid bytes per block
     live:      bool  [B] — padding blocks excluded from the stream
     final_idx: int32 — stream-global index of the BFINAL block, or -1
+    phase0:    int32 — absolute bit offset of this segment's start in the
+               stream (mod 8 is what matters; stored-block padding needs it)
     Returns (words uint32 [B*WB], total_bits int32).
     """
     B = blocks.shape[0]
+    phase0 = jnp.asarray(phase0, jnp.int32)
     plans = jax.vmap(lambda b, l: block_plan(b, l, level))(blocks, blens)
     choice, pad, offset, bits = choose_blocks(
-        plans["fixed_bits"], plans["dyn_bits"], blens, live, level)
+        plans["fixed_bits"], plans["dyn_bits"], blens, live, level, phase0)
+    offset = offset - phase0            # segment-relative placement
     bfinal = jnp.arange(B) == final_idx
     words = jax.vmap(
         lambda bl, ln, i, ch, pd, bf: emit_block(

@@ -1,0 +1,61 @@
+"""Data-parallel encode over an 8-virtual-device CPU mesh."""
+import zlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deflate_tpu.models import encoder as E
+from deflate_tpu.ops.bitpack import words_to_bytes
+from deflate_tpu.parallel import mesh as M
+from deflate_tpu.utils.tables import BLOCK_SIZE
+
+
+def _mk_blocks(B, rng, fill=1.0):
+    blocks = np.zeros((B, BLOCK_SIZE), np.uint8)
+    blens = np.zeros((B,), np.int32)
+    for i in range(B):
+        k = max(1, int(BLOCK_SIZE * fill) - 17 * i)
+        if i % 3 == 0:
+            blocks[i, :k] = rng.integers(97, 105, k, dtype=np.uint8)
+        elif i % 3 == 1:
+            blocks[i, :k] = rng.integers(0, 256, k, dtype=np.uint8)
+        else:
+            pat = rng.integers(0, 256, 97, dtype=np.uint8)
+            blocks[i, :k] = np.tile(pat, k // 97 + 1)[:k]
+        blens[i] = k
+    return blocks, blens
+
+
+@pytest.mark.parametrize("level", [0, 2])
+def test_mesh_matches_single_program(level):
+    assert len(jax.devices()) >= 8
+    mesh = M.make_mesh(jax.devices()[:8])
+    rng = np.random.default_rng(7)
+    B = 8
+    blocks, blens = _mk_blocks(B, rng)
+    live = np.ones((B,), bool)
+
+    wm, tm = M.encode_mesh(jnp.asarray(blocks), jnp.asarray(blens),
+                           jnp.asarray(live), jnp.int32(B - 1), level, mesh)
+    w1, t1 = E.encode_batch(jnp.asarray(blocks), jnp.asarray(blens),
+                            jnp.asarray(live), jnp.int32(B - 1), level)
+    assert int(tm) == int(t1)
+    assert words_to_bytes(np.asarray(wm), int(tm)) == \
+        words_to_bytes(np.asarray(w1), int(t1))
+
+
+def test_compress_mesh_roundtrip():
+    mesh = M.make_mesh(jax.devices()[:8])
+    rng = np.random.default_rng(11)
+    pat = rng.integers(0, 200, 311, dtype=np.uint8)
+    data = np.tile(pat, 700)[: 3 * BLOCK_SIZE + 12345].tobytes()
+    out = M.compress_mesh(data, level=2, mesh=mesh)
+    assert zlib.decompress(out, -15) == data
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as GE
+
+    GE.dryrun_multichip(8)
