@@ -78,14 +78,38 @@ def compress(data, level: int = 2) -> bytes:
     return _stitch.words_to_bytes(out_words, out_bits)
 
 
-def decompress(data, out_size: int | None = None) -> bytes:
-    """Decompress a raw DEFLATE stream."""
+def decompress(data, out_size: int | None = None,
+               device: bool = False) -> bytes:
+    """Decompress a raw DEFLATE stream.
+
+    device=True runs the massively-parallel TPU decoder
+    (models/decoder.py) with automatic host fallback on any stream it
+    cannot represent; device=False uses the host decoder.
+    """
+    if device:
+        from deflate_tpu.models import decoder as _dd
+
+        return _dd.inflate_device(bytes(data), out_size)
     return _hi.inflate_raw(bytes(data), out_size)
 
 
-def decompress_zlib(data) -> bytes:
+def decompress_zlib(data, device: bool = False) -> bytes:
     """Decompress a zlib-wrapped (RFC 1950) stream, verifying Adler-32."""
-    return _hi.inflate_zlib(bytes(data))
+    data = bytes(data)
+    if device:
+        if len(data) < 6:
+            raise InflateError("zlib stream too short")
+        cmf, flg = data[0], data[1]
+        if cmf & 0x0F != 8:
+            raise InflateError("unsupported compression method")
+        if (cmf * 256 + flg) % 31 != 0:
+            raise InflateError("bad zlib header check")
+        ofs = 6 if flg & 0x20 else 2
+        out = decompress(data[ofs:], device=True)
+        if _hi.adler32(out) != int.from_bytes(data[-4:], "big"):
+            raise InflateError("adler32 mismatch")
+        return out
+    return _hi.inflate_zlib(data)
 
 
 def compress_zlib(data, level: int = 2) -> bytes:

@@ -29,8 +29,10 @@ from deflate_tpu.ops import huffman as H
 from deflate_tpu.utils import tables as T
 
 # max compressed bits of one block body we scan in one shot; our encoder
-# never emits a block larger than stored (3+7+32+8*32768 bits)
-SPAN = 1 << 18
+# never emits a Huffman block larger than the stored alternative
+# (3+7+32+8*32768 bits), so 2^18+64 covers any block we produce.  Foreign
+# encoders may exceed this — the driver detects overflow and falls back.
+SPAN = (1 << 18) + 64
 LUT_BITS = 15
 LUT_SIZE = 1 << LUT_BITS
 
@@ -47,13 +49,13 @@ def build_lut(lengths: jax.Array) -> jax.Array:
 
 
 def token_scan(words: jax.Array, lit_lut: jax.Array, dist_lut: jax.Array,
-               start: jax.Array, max_dist=None):
-    """Decode a speculative token at every bit offset start + [0, SPAN).
+               start: jax.Array, max_dist=None, span: int = SPAN):
+    """Decode a speculative token at every bit offset start + [0, span).
 
-    Returns dict of [SPAN] arrays: nbits, out_adv, is_lit, is_match, is_eob,
+    Returns dict of [span] arrays: nbits, out_adv, is_lit, is_match, is_eob,
     invalid, lit (byte value), length, dist.
     """
-    i = jnp.arange(SPAN, dtype=jnp.int32)
+    i = jnp.arange(span, dtype=jnp.int32)
     p = start + i
     w15 = BP.peek_bits(words, p, LUT_BITS)
     e = lit_lut[w15]
@@ -89,30 +91,30 @@ def token_scan(words: jax.Array, lit_lut: jax.Array, dist_lut: jax.Array,
             "lit": lit, "length": length, "dist": dist}
 
 
-def find_chain(tok):
+def find_chain(tok, span: int = SPAN):
     """Phase 2: mark the true token chain starting at local offset 0.
 
-    Returns (reached bool [SPAN] — true tokens, EOB excluded;
-             eob_local int32 — offset of the EOB token or SPAN;
+    Returns (reached bool [span] — true tokens, EOB excluded;
+             eob_local int32 — offset of the EOB token or span;
              error bool — chain hit an invalid token).
     """
-    i = jnp.arange(SPAN, dtype=jnp.int32)
+    i = jnp.arange(span, dtype=jnp.int32)
     nxt = i + jnp.maximum(tok["nbits"], 1)
     nxt = jnp.where(tok["is_eob"], i, nxt)                  # EOB absorbs
-    nxt = jnp.where(tok["invalid"], SPAN, nxt)              # invalid escapes
-    nxt = jnp.minimum(nxt, SPAN)
+    nxt = jnp.where(tok["invalid"], span, nxt)              # invalid escapes
+    nxt = jnp.minimum(nxt, span)
 
-    g = jnp.concatenate([nxt, jnp.array([SPAN], jnp.int32)])  # sentinel slot
-    mark = jnp.zeros((SPAN + 1,), jnp.int32).at[0].set(1)
-    for _ in range(18):                                      # 2^18 = SPAN
-        tgt = jnp.where(mark > 0, g, SPAN)
+    g = jnp.concatenate([nxt, jnp.array([span], jnp.int32)])  # sentinel slot
+    mark = jnp.zeros((span + 1,), jnp.int32).at[0].set(1)
+    for _ in range(max(1, (span - 1).bit_length())):
+        tgt = jnp.where(mark > 0, g, span)
         mark = mark.at[tgt].max(mark, mode="drop")
         g = g[g]
-    mark = mark[:SPAN] > 0
+    mark = mark[:span] > 0
 
-    eobs = jnp.where(mark & tok["is_eob"], i, SPAN)
+    eobs = jnp.where(mark & tok["is_eob"], i, span)
     eob_local = jnp.min(eobs)
-    error = jnp.any(mark & tok["invalid"])
+    error = jnp.any(mark & tok["invalid"] & ~tok["is_eob"])
     reached = mark & ~tok["is_eob"] & ~tok["invalid"]
     return reached, eob_local, error
 

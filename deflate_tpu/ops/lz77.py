@@ -28,7 +28,21 @@ import jax.numpy as jnp
 from deflate_tpu.utils.tables import BLOCK_SIZE, MAX_MATCH, MIN_MATCH
 
 HASH_BITS = 15
-HASH_MUL = jnp.uint32(0x9E3779B1)
+
+
+def _hash15(tri: jax.Array) -> jax.Array:
+    """24-bit window -> 15-bit bucket, multiply-free.
+
+    TPU note: an integer multiply on a large *computed* array sends XLA/
+    Mosaic down a scalarizing path (measured 27 ms per 8x32 KiB and 100 s+
+    compiles on v5e — the classic `x * 0x9E3779B1` Fibonacci hash is
+    unusable).  Shift/xor/add mixing is single-cycle VPU work.
+    """
+    t = tri
+    t = t ^ (t >> 13)
+    t = t + (t << 7)
+    t = t ^ (t >> 9)
+    return (t & jnp.uint32(0x7FFF)).astype(jnp.int32)
 
 
 def _le_u32(block: jax.Array) -> jax.Array:
@@ -62,7 +76,7 @@ def find_matches(block: jax.Array, blen: jax.Array, num_cands: int,
     n = block.shape[0]
     u32 = _le_u32(block)
     tri = u32 & jnp.uint32(0x00FFFFFF)
-    h = ((tri * HASH_MUL) >> (32 - HASH_BITS)).astype(jnp.int32)
+    h = _hash15(tri)
 
     pos = jnp.arange(n, dtype=jnp.int32)
     valid = pos < blen - (MIN_MATCH - 1)          # a 3-byte window exists
@@ -73,71 +87,75 @@ def find_matches(block: jax.Array, blen: jax.Array, num_cands: int,
     spos = skey & 0x7FFF
     shash = skey >> 15
 
-    # K most recent predecessors in the same hash bucket
+    # K most recent predecessors in the same hash bucket.  Layout note: all
+    # per-candidate state is [K, n] — n must live on the TPU lane axis; a
+    # [n, K<=16] layout uses 4/128 lanes and relayouts on every op
+    # (measured ~12 ms per extension round vs ~10 us this way).
+    inv = jnp.zeros((n,), jnp.int32).at[spos].set(pos)  # sort inverse perm
     cands = []
     for k in range(1, num_cands + 1):
         prev = jnp.concatenate([jnp.full((k,), -1, jnp.int32), spos[:-k]])
         ph = jnp.concatenate([jnp.full((k,), -1, jnp.int32), shash[:-k]])
-        cands.append(jnp.where(ph == shash, prev, -1))
-    cand_sorted = jnp.stack(cands, axis=1)        # [n, K] in sorted order
-    # invert the sort permutation with a 1-D scatter, then gather rows —
-    # much cheaper on TPU than a row-scatter of [n, K]
-    inv = jnp.zeros((n,), jnp.int32).at[spos].set(pos)
-    cand = cand_sorted[inv]
+        cands.append(jnp.where(ph == shash, prev, -1)[inv])
+    cand = jnp.stack(cands, axis=0)                # [K, n]
 
-    ok = cand >= 0                                 # [n, K]
-    ci = jnp.where(ok, cand, 0)
+    ok = (cand >= 0).astype(jnp.int32)             # [K, n]; int32, not bool —
+    ci = jnp.where(ok > 0, cand, 0)                # bool carries relayout
 
     # parallel extension, 4 bytes per round.  The current-position side is
     # an *affine* index — materialized as a dynamic_slice of a padded copy
-    # (an affine [n, K] gather lowers to ~12 ms/round on v5e; a slice is
-    # free).  The candidate side is a genuine random gather (fast).
+    # (an affine gather lowers pathologically on v5e; a slice is free).
+    # The candidate side is a genuine random gather (cheap).
     pad = 4 * max_rounds + 4
     u_pad = jnp.concatenate([u32, jnp.zeros((pad,), jnp.uint32)])
     limit = jnp.minimum(MAX_MATCH, blen - pos)     # [n]
     limit = jnp.maximum(limit, 0)
 
     def round_cond(st):
-        _, active, r = st
-        return (r < max_rounds) & jnp.any(active)
+        _, _, r, nactive = st
+        return (r < max_rounds) & (nactive > 0)
 
     def round_body(st):
-        mlen, active, r = st
+        mlen, active, r, _ = st
         off = r * 4
-        a = jax.lax.dynamic_slice(u_pad, (off,), (n,))[:, None]
+        a = jax.lax.dynamic_slice(u_pad, (off,), (n,))[None, :]
         b = u_pad[ci + off]
         x = a ^ b
-        # bytes equal in this round: 0..4 via trailing-zero count of xor /8
-        eq4 = x == 0
+        # bytes equal in this round: 0..4 via position of first xor byte
+        eq4 = (x == 0).astype(jnp.int32)
         # first differing byte: lowest set bit of x
         lsb = x & (jnp.uint32(0) - x)
-        nb = jnp.where(eq4, 4,
+        nb = jnp.where(x == 0, 4,
              jnp.where(lsb & jnp.uint32(0xFF), 0,
              jnp.where(lsb & jnp.uint32(0xFF00), 1,
              jnp.where(lsb & jnp.uint32(0xFF0000), 2, 3)))).astype(jnp.int32)
-        add = jnp.where(active, nb, 0)
-        mlen = mlen + add
-        active = active & eq4
-        return mlen, active, r + 1
+        mlen = mlen + active * nb
+        active = active * eq4
+        return mlen, active, r + 1, jnp.sum(active)
 
-    mlen0 = jnp.zeros((n, num_cands), jnp.int32)
-    mlen, _, _ = jax.lax.while_loop(round_cond, round_body, (mlen0, ok, 0))
-    mlen = jnp.minimum(mlen, limit[:, None])
-    mlen = jnp.where(ok & valid[:, None], mlen, 0)
+    mlen0 = jnp.zeros((num_cands, n), jnp.int32)
+    mlen, _, _, _ = jax.lax.while_loop(
+        round_cond, round_body, (mlen0, ok, 0, jnp.sum(ok)))
+    mlen = jnp.minimum(mlen, limit[None, :])
+    mlen = mlen * ok * valid.astype(jnp.int32)[None, :]
 
-    dist = pos[:, None] - ci                        # [n, K] (>=1 where ok)
+    dist = pos[None, :] - ci                        # [K, n] (>=1 where ok)
 
     # drop marginal far matches (zlib "too_far" heuristic): len==3 & dist>4096
     mlen = jnp.where((mlen == MIN_MATCH) & (dist > 4096), 0, mlen)
 
-    # longest match wins; candidates are ordered nearest-first, and argmax
-    # returns the first maximum, so ties go to the smallest distance (Q4)
-    best_k = jnp.argmax(mlen, axis=1)
-    blen_ = jnp.take_along_axis(mlen, best_k[:, None], 1)[:, 0]
-    bdist = jnp.take_along_axis(dist, best_k[:, None], 1)[:, 0]
-    blen_ = jnp.where(blen_ >= MIN_MATCH, blen_, 0)
-    bdist = jnp.where(blen_ >= MIN_MATCH, bdist, 0)
-    return blen_, bdist
+    # longest match wins; candidates are ordered nearest-first and the
+    # strictly-greater compare keeps the first maximum, so ties go to the
+    # smallest distance (Q4).  Unrolled over the static K — no argmax along
+    # a short axis (which forces a relayout).
+    blen_ = mlen[0]
+    bdist = dist[0]
+    for k in range(1, num_cands):
+        better = mlen[k] > blen_
+        blen_ = jnp.where(better, mlen[k], blen_)
+        bdist = jnp.where(better, dist[k], bdist)
+    keep = blen_ >= MIN_MATCH
+    return jnp.where(keep, blen_, 0), jnp.where(keep, bdist, 0)
 
 
 def lazy_filter(length: jax.Array, dist: jax.Array):
