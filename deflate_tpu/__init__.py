@@ -44,15 +44,28 @@ def _bucket(n: int) -> int:
     return _BATCH_BUCKETS[-1]
 
 
-def compress(data, level: int = 2) -> bytes:
-    """Compress to a raw DEFLATE stream (decodable by zlib wbits=-15)."""
+def compress(data, level: int = 2, backend: str = "tpu") -> bytes:
+    """Compress to a raw DEFLATE stream (decodable by zlib wbits=-15).
+
+    backend: "tpu" (the JAX/device encoder — default), "native" (the C++
+    host runtime, deflate_tpu/native/deflate.cpp), or "auto" (native for
+    sub-block inputs where a device round trip costs more than the work).
+    """
+    if not 0 <= level <= 3:
+        raise ValueError(f"level must be 0..3, got {level}")
+    if backend not in ("tpu", "native", "auto"):
+        raise ValueError(f"unknown backend {backend!r}")
+    buf = _as_u8(data)
+    if backend == "native" or (backend == "auto" and len(buf) < BLOCK_SIZE):
+        from deflate_tpu import native as _nat
+
+        out = _nat.deflate(buf.tobytes(), level)
+        if out is not None:
+            return out
+
     import jax.numpy as jnp
 
     from deflate_tpu.models import encoder as E
-
-    if not 0 <= level <= 3:
-        raise ValueError(f"level must be 0..3, got {level}")
-    buf = _as_u8(data)
     nblocks = max(1, -(-len(buf) // BLOCK_SIZE))
     segments = []
     done = 0
@@ -90,7 +103,16 @@ def decompress(data, out_size: int | None = None,
         from deflate_tpu.models import decoder as _dd
 
         return _dd.inflate_device(bytes(data), out_size)
-    return _hi.inflate_raw(bytes(data), out_size)
+    from deflate_tpu import native as _nat
+
+    raw = bytes(data)
+    try:
+        out = _nat.inflate(raw, out_size or max(1024, 8 * len(raw)))
+    except ValueError as e:
+        raise InflateError(str(e)) from None
+    if out is not None:
+        return out
+    return _hi.inflate_raw(raw, out_size)
 
 
 def decompress_zlib(data, device: bool = False) -> bytes:

@@ -1,0 +1,138 @@
+"""ctypes bindings for the native host runtime (libdeflate_tpu.so).
+
+The shared library is built on demand with the in-tree Makefile (g++,
+zero dependencies).  All entry points degrade gracefully: if the
+toolchain or library is unavailable, `lib()` returns None and callers
+fall back to the pure-Python implementations.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libdeflate_tpu.so")
+_lib = None
+_tried = False
+
+DT_OK = 0
+DT_ERRORS = {
+    -1: "truncated or malformed stream",
+    -2: "output capacity exceeded",
+    -3: "invalid Huffman code or code lengths",
+    -4: "distance too far back",
+    -5: "reserved block type",
+}
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-s", "-C", _DIR],
+                       check=True, capture_output=True, timeout=120)
+        return os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def lib():
+    """The loaded library, building it first if needed; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO) and not _build():
+        return None
+    try:
+        L = ctypes.CDLL(_SO)
+        L.dt_inflate.restype = ctypes.c_int
+        L.dt_inflate.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_size_t)]
+        L.dt_deflate.restype = ctypes.c_int
+        L.dt_deflate.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_size_t)]
+        L.dt_adler32.restype = ctypes.c_uint32
+        L.dt_adler32.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+        L.dt_stitch.restype = None
+        L.dt_stitch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint32)]
+        _lib = L
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def inflate(data: bytes, out_cap: int):
+    """Native inflate; returns bytes or raises ValueError. None if no lib."""
+    L = lib()
+    if L is None:
+        return None
+    while True:
+        out = (ctypes.c_uint8 * out_cap)()
+        out_len = ctypes.c_size_t(0)
+        rc = L.dt_inflate(data, len(data), out, out_cap,
+                          ctypes.byref(out_len))
+        if rc == DT_OK:
+            return bytes(bytearray(out)[:out_len.value])
+        if rc == -2 and out_cap < (1 << 34):
+            out_cap *= 4
+            continue
+        raise ValueError(f"inflate: {DT_ERRORS.get(rc, rc)}")
+
+
+def deflate(data: bytes, level: int):
+    """Native deflate; returns bytes. None if no lib."""
+    L = lib()
+    if L is None:
+        return None
+    out_cap = max(1024, len(data) + len(data) // 2 + 4096)
+    out = (ctypes.c_uint8 * out_cap)()
+    out_len = ctypes.c_size_t(0)
+    rc = L.dt_deflate(data, len(data), level, out, out_cap,
+                      ctypes.byref(out_len))
+    if rc != DT_OK:
+        raise ValueError(f"deflate: {DT_ERRORS.get(rc, rc)}")
+    return bytes(bytearray(out)[:out_len.value])
+
+
+def adler32(data: bytes):
+    L = lib()
+    if L is None:
+        return None
+    return int(L.dt_adler32(data, len(data)))
+
+
+def stitch(segments):
+    """Bit-level concat of [(u32 numpy words, nbits), ...] -> (words, bits).
+
+    Returns None if the native lib is unavailable.
+    """
+    import numpy as np
+
+    L = lib()
+    if L is None:
+        return None
+    total = sum(int(nb) for _, nb in segments)
+    segs = [np.ascontiguousarray(w[: (int(nb) + 31) // 32], dtype=np.uint32)
+            for w, nb in segments]
+    cat = (np.concatenate(segs) if segs
+           else np.zeros(0, np.uint32))
+    offsets = np.zeros(len(segs), np.uint64)
+    o = 0
+    for i, s in enumerate(segs):
+        offsets[i] = o
+        o += len(s)
+    bits = np.asarray([int(nb) for _, nb in segments], np.uint64)
+    out = np.zeros(total // 32 + 2, np.uint32)
+    L.dt_stitch(cat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                len(segs),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return out, total

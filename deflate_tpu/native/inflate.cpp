@@ -1,0 +1,386 @@
+// Host-side native INFLATE — the CPU fast path of the deflate_tpu runtime.
+//
+// Reference analog: class inflate (inflate.hpp:26-409 in /root/reference),
+// whose hot loop probes a pointer-chasing trie once per input BIT (SURVEY.md
+// quirk Q7).  This implementation is a from-scratch table-driven decoder:
+// a 64-bit bit buffer and two-level canonical lookup tables (10-bit root),
+// so a symbol decodes in one or two loads.  It is the host fallback behind
+// the TPU decoder (models/decoder.py) and the fast path for small inputs
+// where a device round trip costs more than the decode.
+//
+// Exported C ABI (ctypes):
+//   int dt_inflate(const uint8_t* in, size_t in_len,
+//                  uint8_t* out, size_t out_cap, size_t* out_len);
+//     returns 0 ok, negative error codes otherwise (see DT_E_*)
+//   uint32_t dt_adler32(const uint8_t* p, size_t n);
+//   void dt_stitch(...)  -- bit-level segment concatenation
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+extern "C" {
+
+enum {
+  DT_OK = 0,
+  DT_E_INPUT = -1,      // truncated / malformed stream
+  DT_E_OUTPUT = -2,     // output capacity exceeded
+  DT_E_CODE = -3,       // invalid Huffman code or code lengths
+  DT_E_DIST = -4,       // distance past window / output start
+  DT_E_BTYPE = -5,      // reserved block type 3
+};
+
+}  // extern "C"
+
+namespace {
+
+constexpr int kRootBits = 10;
+constexpr int kMaxCodeLen = 15;
+
+// Table entry: [sym:16][len:8][flags:8]; flag 1 = subtable pointer, where
+// sym = subtable base index and len = extra index bits.
+struct Entry {
+  uint16_t sym;
+  uint8_t len;
+  uint8_t sub;
+};
+
+struct BitReader {
+  const uint8_t* p;
+  const uint8_t* end;
+  uint64_t buf = 0;
+  int n = 0;  // valid bits in buf
+
+  void refill() {
+    while (n <= 56 && p < end) {
+      buf |= uint64_t(*p++) << n;
+      n += 8;
+    }
+  }
+  // peek k bits (k <= 57 after refill); missing bits read as zero
+  uint32_t peek(int k) const { return uint32_t(buf & ((1ull << k) - 1)); }
+  void drop(int k) {
+    buf >>= k;
+    n -= k;
+  }
+  bool have(int k) {
+    if (n < k) refill();
+    return n >= k;
+  }
+  void align() {
+    int k = n & 7;
+    drop(k);
+  }
+  // absolute byte position consumed so far
+  size_t bytes_consumed(const uint8_t* start) const {
+    return size_t(p - start) - size_t(n >> 3);
+  }
+};
+
+// Build a two-level decode table from code lengths.
+// table must hold (1<<kRootBits) + 2048 entries (subtable worst case).
+// Returns table size used, or -1 on oversubscription.
+int build_table(const uint8_t* lens, int nsym, Entry* table, bool allow_empty) {
+  int count[kMaxCodeLen + 1] = {0};
+  for (int s = 0; s < nsym; s++) count[lens[s]]++;
+  count[0] = 0;
+  int total = 0;
+  for (int l = 1; l <= kMaxCodeLen; l++) total += count[l];
+  if (total == 0) {
+    if (!allow_empty) return -1;
+    for (int i = 0; i < (1 << kRootBits); i++) table[i] = {0, 0, 0};
+    return 1 << kRootBits;
+  }
+  // Kraft check (oversubscription is fatal; incomplete codes allowed —
+  // unused table slots get len 0 and decode as errors)
+  long kraft = 0;
+  for (int l = 1; l <= kMaxCodeLen; l++)
+    kraft += long(count[l]) << (kMaxCodeLen - l);
+  if (kraft > (1L << kMaxCodeLen)) return -1;
+
+  // symbols sorted by (len, sym)
+  int offs[kMaxCodeLen + 2] = {0};
+  for (int l = 1; l <= kMaxCodeLen; l++) offs[l + 1] = offs[l] + count[l];
+  uint16_t sorted[320];
+  {
+    int o[kMaxCodeLen + 1];
+    memcpy(o, offs, sizeof(o));
+    for (int s = 0; s < nsym; s++)
+      if (lens[s]) sorted[o[lens[s]]++] = uint16_t(s);
+  }
+
+  for (int i = 0; i < (1 << kRootBits); i++) table[i] = {0, 0, 0};
+  int next_sub = 1 << kRootBits;
+
+  uint32_t code = 0;  // canonical code, MSB-first
+  int si = 0;
+  int sub_base = -1, sub_prefix = -1, sub_bits = 0;
+  for (int l = 1; l <= kMaxCodeLen; l++) {
+    for (int c = 0; c < count[l]; c++, si++, code++) {
+      uint16_t sym = sorted[si];
+      // bit-reverse the l-bit code for LSB-first indexing
+      uint32_t rev = 0;
+      for (int b = 0; b < l; b++) rev |= ((code >> b) & 1u) << (l - 1 - b);
+      if (l <= kRootBits) {
+        for (uint32_t i = rev; i < (1u << kRootBits); i += (1u << l))
+          table[i] = {sym, uint8_t(l), 0};
+      } else {
+        uint32_t prefix = rev & ((1u << kRootBits) - 1);
+        if (int(prefix) != sub_prefix) {
+          // longest code sharing this prefix determines subtable size
+          sub_prefix = int(prefix);
+          // compute remaining max length for this prefix: scan ahead is
+          // costly; use kMaxCodeLen - kRootBits (5 bits, 32 entries) flat
+          sub_bits = kMaxCodeLen - kRootBits;
+          sub_base = next_sub;
+          next_sub += 1 << sub_bits;
+          for (int i = 0; i < (1 << sub_bits); i++)
+            table[sub_base + i] = {0, 0, 0};
+          table[prefix] = {uint16_t(sub_base), uint8_t(sub_bits), 1};
+        }
+        uint32_t hi = rev >> kRootBits;  // remaining l - kRootBits bits
+        for (uint32_t i = hi; i < (1u << sub_bits); i += (1u << (l - kRootBits)))
+          table[sub_base + i] = {sym, uint8_t(l - kRootBits), 0};
+      }
+    }
+    code <<= 1;
+  }
+  return next_sub;
+}
+
+const uint16_t kLenBase[29] = {3,  4,  5,  6,  7,  8,  9,  10, 11,  13,
+                               15, 17, 19, 23, 27, 31, 35, 43, 51,  59,
+                               67, 83, 99, 115, 131, 163, 195, 227, 258};
+const uint8_t kLenExtra[29] = {0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2,
+                               2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0};
+const uint16_t kDistBase[30] = {1,    2,    3,    4,    5,    7,    9,   13,
+                                17,   25,   33,   49,   65,   97,   129, 193,
+                                257,  385,  513,  769,  1025, 1537, 2049,
+                                3073, 4097, 6145, 8193, 12289, 16385, 24577};
+const uint8_t kDistExtra[30] = {0, 0, 0,  0,  1,  1,  2,  2,  3,  3,
+                                4, 4, 5,  5,  6,  6,  7,  7,  8,  8,
+                                9, 9, 10, 10, 11, 11, 12, 12, 13, 13};
+const uint8_t kClOrder[19] = {16, 17, 18, 0, 8, 7, 9, 6, 10, 5,
+                              11, 4, 12, 3, 13, 2, 14, 1, 15};
+
+constexpr int kTableSize = (1 << kRootBits) + 320 * 32;  // root + worst-case subtables
+
+struct Tables {
+  Entry lit[kTableSize];
+  Entry dist[kTableSize];
+};
+
+// decode one symbol; returns -1 on error
+inline int decode_sym(BitReader& br, const Entry* tbl) {
+  br.refill();
+  Entry e = tbl[br.peek(kRootBits)];
+  if (e.sub) {
+    uint32_t idx = (br.peek(kRootBits + e.len) >> kRootBits);
+    int root = kRootBits;
+    e = tbl[e.sym + idx];
+    if (!e.len) return -1;
+    br.drop(root + e.len);
+    return e.sym;
+  }
+  if (!e.len) return -1;
+  br.drop(e.len);
+  return e.sym;
+}
+
+int fixed_tables(Tables& t) {
+  uint8_t ll[288], dl[30];
+  for (int i = 0; i < 144; i++) ll[i] = 8;
+  for (int i = 144; i < 256; i++) ll[i] = 9;
+  for (int i = 256; i < 280; i++) ll[i] = 7;
+  for (int i = 280; i < 288; i++) ll[i] = 8;
+  for (int i = 0; i < 30; i++) dl[i] = 5;
+  if (build_table(ll, 288, t.lit, false) < 0) return -1;
+  if (build_table(dl, 30, t.dist, false) < 0) return -1;
+  return 0;
+}
+
+int dynamic_tables(BitReader& br, Tables& t) {
+  if (!br.have(14)) return DT_E_INPUT;
+  int hlit = int(br.peek(5)) + 257;
+  br.drop(5);
+  int hdist = int(br.peek(5)) + 1;
+  br.drop(5);
+  int hclen = int(br.peek(4)) + 4;
+  br.drop(4);
+  if (hlit > 286 || hdist > 30) return DT_E_CODE;
+
+  uint8_t cl_lens[19] = {0};
+  for (int i = 0; i < hclen; i++) {
+    if (!br.have(3)) return DT_E_INPUT;
+    cl_lens[kClOrder[i]] = uint8_t(br.peek(3));
+    br.drop(3);
+  }
+  Entry cl_tbl[kTableSize];
+  if (build_table(cl_lens, 19, cl_tbl, false) < 0) return DT_E_CODE;
+
+  uint8_t lens[320] = {0};
+  int i = 0;
+  while (i < hlit + hdist) {
+    if (!br.have(7 + 7)) br.refill();
+    int s = decode_sym(br, cl_tbl);
+    if (s < 0) return DT_E_CODE;
+    if (s < 16) {
+      lens[i++] = uint8_t(s);
+    } else if (s == 16) {
+      if (i == 0) return DT_E_CODE;
+      if (!br.have(2)) return DT_E_INPUT;
+      int rep = 3 + int(br.peek(2));
+      br.drop(2);
+      if (i + rep > hlit + hdist) return DT_E_CODE;
+      for (int r = 0; r < rep; r++, i++) lens[i] = lens[i - 1];
+    } else if (s == 17) {
+      if (!br.have(3)) return DT_E_INPUT;
+      int rep = 3 + int(br.peek(3));
+      br.drop(3);
+      if (i + rep > hlit + hdist) return DT_E_CODE;
+      i += rep;
+    } else {
+      if (!br.have(7)) return DT_E_INPUT;
+      int rep = 11 + int(br.peek(7));
+      br.drop(7);
+      if (i + rep > hlit + hdist) return DT_E_CODE;
+      i += rep;
+    }
+  }
+  if (lens[256] == 0) return DT_E_CODE;
+  if (build_table(lens, hlit, t.lit, false) < 0) return DT_E_CODE;
+  if (build_table(lens + hlit, hdist, t.dist, true) < 0) return DT_E_CODE;
+  return DT_OK;
+}
+
+}  // namespace
+
+extern "C" {
+
+uint32_t dt_adler32(const uint8_t* p, size_t n) {
+  uint32_t s1 = 1, s2 = 0;
+  while (n > 0) {
+    size_t chunk = n > 5552 ? 5552 : n;  // max before 32-bit overflow
+    for (size_t i = 0; i < chunk; i++) {
+      s1 += p[i];
+      s2 += s1;
+    }
+    s1 %= 65521;
+    s2 %= 65521;
+    p += chunk;
+    n -= chunk;
+  }
+  return (s2 << 16) | s1;
+}
+
+int dt_inflate(const uint8_t* in, size_t in_len, uint8_t* out, size_t out_cap,
+               size_t* out_len) {
+  BitReader br{in, in + in_len};
+  size_t op = 0;
+  static thread_local Tables tbl;
+
+  for (;;) {
+    if (!br.have(3)) return DT_E_INPUT;
+    int bfinal = int(br.peek(1));
+    br.drop(1);
+    int btype = int(br.peek(2));
+    br.drop(2);
+
+    if (btype == 0) {
+      br.align();
+      if (!br.have(32)) return DT_E_INPUT;
+      uint32_t len = br.peek(16);
+      br.drop(16);
+      uint32_t nlen = br.peek(16);
+      br.drop(16);
+      if ((len ^ nlen) != 0xFFFF) return DT_E_INPUT;
+      if (op + len > out_cap) return DT_E_OUTPUT;
+      // copy: drain bit buffer first (it holds whole bytes after align)
+      uint32_t rem = len;
+      while (rem && br.n >= 8) {
+        out[op++] = uint8_t(br.peek(8));
+        br.drop(8);
+        rem--;
+      }
+      if (rem) {
+        if (size_t(br.end - br.p) < rem) return DT_E_INPUT;
+        memcpy(out + op, br.p, rem);
+        br.p += rem;
+        op += rem;
+      }
+    } else if (btype == 3) {
+      return DT_E_BTYPE;
+    } else {
+      if (btype == 1) {
+        if (fixed_tables(tbl) < 0) return DT_E_CODE;
+      } else {
+        int rc = dynamic_tables(br, tbl);
+        if (rc != DT_OK) return rc;
+      }
+      for (;;) {
+        if (br.n == 0 && br.p == br.end) return DT_E_INPUT;
+        int s = decode_sym(br, tbl.lit);
+        if (s < 0) return DT_E_CODE;
+        if (s < 256) {
+          if (op >= out_cap) return DT_E_OUTPUT;
+          out[op++] = uint8_t(s);
+        } else if (s == 256) {
+          break;
+        } else {
+          if (s > 285) return DT_E_CODE;
+          int li = s - 257;
+          br.refill();
+          uint32_t length = kLenBase[li] + br.peek(kLenExtra[li]);
+          br.drop(kLenExtra[li]);
+          int d = decode_sym(br, tbl.dist);
+          if (d < 0 || d > 29) return DT_E_CODE;
+          br.refill();
+          uint32_t dist = kDistBase[d] + br.peek(kDistExtra[d]);
+          br.drop(kDistExtra[d]);
+          if (dist > op) return DT_E_DIST;
+          if (op + length > out_cap) return DT_E_OUTPUT;
+          const uint8_t* src = out + op - dist;
+          if (dist >= length) {
+            memcpy(out + op, src, length);
+            op += length;
+          } else {
+            for (uint32_t j = 0; j < length; j++) out[op + j] = src[j];
+            op += length;
+          }
+        }
+      }
+    }
+    if (bfinal) {
+      *out_len = op;
+      return DT_OK;
+    }
+  }
+}
+
+// Bit-level concatenation of segments into a contiguous stream.
+// seg_words: concatenated u32 word data; seg_offsets[i] = word offset of
+// segment i; seg_bits[i] = bit length of segment i.  out must be zeroed,
+// sized (sum(bits)+63)/32 words.
+void dt_stitch(const uint32_t* seg_words, const uint64_t* seg_offsets,
+               const uint64_t* seg_bits, size_t nseg, uint32_t* out) {
+  uint64_t off = 0;
+  for (size_t s = 0; s < nseg; s++) {
+    const uint32_t* w = seg_words + seg_offsets[s];
+    uint64_t nb = seg_bits[s];
+    if (!nb) continue;
+    uint64_t nwords = (nb + 31) / 32;
+    uint64_t base = off >> 5;
+    uint32_t sh = uint32_t(off & 31);
+    if (sh == 0) {
+      for (uint64_t i = 0; i < nwords; i++) out[base + i] |= w[i];
+    } else {
+      for (uint64_t i = 0; i < nwords; i++) {
+        out[base + i] |= w[i] << sh;
+        out[base + i + 1] |= w[i] >> (32 - sh);
+      }
+    }
+    off += nb;
+  }
+}
+
+}  // extern "C"

@@ -16,6 +16,11 @@ def stitch_segments(segments) -> tuple[np.ndarray, int]:
     Returns (words uint32, total_bits). Bits past nbits in each segment's
     last word must be zero (device emitters guarantee this).
     """
+    from deflate_tpu import native as _nat
+
+    fast = _nat.stitch(segments)
+    if fast is not None:
+        return fast
     total = sum(int(nb) for _, nb in segments)
     out = np.zeros(total // 32 + 2, dtype=np.uint32)
     off = 0
