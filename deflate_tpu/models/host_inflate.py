@@ -131,9 +131,16 @@ def _read_dynamic_tables(br: _BitReader):
     return _Canon(lens[:hlit]), _Canon(lens[hlit:])
 
 
-def inflate_raw(data: bytes, max_out: int | None = None) -> bytes:
-    """Decode a raw DEFLATE stream to bytes."""
+def inflate_raw(data: bytes, max_out: int | None = None,
+                start_bit: int = 0, single_block: bool = False) -> bytes:
+    """Decode a raw DEFLATE stream to bytes.
+
+    start_bit / single_block support random-access block decode from a
+    manifest (runtime/manifest.py): begin at an arbitrary bit offset and
+    stop after one block regardless of BFINAL.
+    """
     br = _BitReader(data)
+    br.pos = start_bit
     out = bytearray()
     while True:
         bfinal = br.read(1)
@@ -181,7 +188,7 @@ def inflate_raw(data: bytes, max_out: int | None = None) -> bytes:
                 raise InflateError("output exceeds declared size")
         else:
             raise InflateError("invalid block type 3")
-        if bfinal:
+        if bfinal or single_block:
             return bytes(out)
 
 
