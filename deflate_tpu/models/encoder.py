@@ -47,11 +47,55 @@ CH_STORED, CH_FIXED, CH_DYN = 0, 1, 2
 _J = lambda a: jnp.asarray(a)
 
 
-def tokenize_block(block, blen, level: int):
-    """LZ77 parse of one block into fixed-size token arrays.
+def _flog2(x):
+    """floor(log2 x) for 1 <= x < 2^24 via the f32 exponent — elementwise
+    (table gathers cost ~9 ns/element on v5e; this is VPU-only)."""
+    f = x.astype(jnp.float32)
+    return (jax.lax.bitcast_convert_type(f, jnp.int32) >> 23) - 127
 
-    Returns dict with [NT]-shaped arrays: lit_sym (litlen symbol per token,
-    256 at slot `ntok`), match_len, match_dist, is_match, live, plus ntok.
+
+def _len_code(length):
+    """Match length 3..258 -> length-code index 0..28 (RFC 1951 §3.2.5),
+    computed arithmetically (reference: generateLengthLookup linear scan,
+    common.hpp:508-540)."""
+    m = length - 3
+    e = jnp.maximum(_flog2(jnp.maximum(m, 1)) - 2, 0)
+    c = jnp.where(m < 8, m, 4 + 4 * e + ((m >> e) - 4))
+    return jnp.where(length >= T.MAX_MATCH, 28, c)
+
+
+def _len_base(c):
+    e = jnp.maximum((c - 4) >> 2, 0)
+    base = jnp.where(c < 8, c, (1 << (e + 2)) + ((c - 4 - 4 * e) << e))
+    return jnp.where(c == 28, 255, base) + 3
+
+
+def _len_eb(c):
+    return jnp.where((c < 8) | (c >= 28), 0, (c - 4) >> 2)
+
+
+def _dist_code(d):
+    """Distance 1..32768 -> distance code 0..29, arithmetic."""
+    m = d - 1
+    e = _flog2(jnp.maximum(m, 1))
+    return jnp.where(m < 4, m, 2 * e + ((m >> jnp.maximum(e - 1, 0)) & 1))
+
+
+def _dist_base(c):
+    e = jnp.maximum((c >> 1) - 1, 0)
+    return jnp.where(c < 4, c + 1, (1 << (e + 1)) + ((c & 1) << e) + 1)
+
+
+def _dist_eb(c):
+    return jnp.maximum((c >> 1) - 1, 0)
+
+
+def tokenize_block(block, blen, level: int):
+    """LZ77 parse of one block into position-indexed token arrays.
+
+    No compaction: position i either starts a token (mark[i]) or
+    contributes nothing (all-zero entry widths) — avoids the scatter/
+    gather token-slot indirection entirely.  Returns dict of [N] arrays.
     """
     if level >= 2:
         K = 4 if level == 2 else 16
@@ -61,48 +105,49 @@ def tokenize_block(block, blen, level: int):
     else:
         length = jnp.zeros((N,), jnp.int32)
         dist = jnp.zeros((N,), jnp.int32)
-    mark = LZ.greedy_parse(length, blen)
+    mark, length = LZ.greedy_parse(length, blen)   # truncated lengths
+
+    is_match = mark & (length >= T.MIN_MATCH)
+    lcode = _len_code(jnp.maximum(length, T.MIN_MATCH))
+    dcode = _dist_code(jnp.maximum(dist, 1))
+    lit_sym = jnp.where(is_match, 257 + lcode, block.astype(jnp.int32))
     ntok = jnp.sum(mark.astype(jnp.int32))
-    tidx = jnp.cumsum(mark.astype(jnp.int32)) - mark.astype(jnp.int32)
-    pos = jnp.arange(N, dtype=jnp.int32)
-    tok_pos = jnp.full((NT,), N, jnp.int32).at[
-        jnp.where(mark, tidx, NT - 1)].set(jnp.where(mark, pos, N),
-                                           mode="drop")
+    return {"mark": mark, "is_match": is_match, "lit_sym": lit_sym,
+            "len": length, "dist": dist, "lcode": lcode, "dcode": dcode,
+            "ntok": ntok}
 
-    tp = jnp.clip(tok_pos, 0, N - 1)
-    valid = tok_pos < N
-    L = jnp.where(valid, length[tp], 0)
-    D = jnp.where(valid, dist[tp], 0)
-    is_match = valid & (L >= T.MIN_MATCH)
-    lit = block[tp].astype(jnp.int32)
 
-    slot = jnp.arange(NT, dtype=jnp.int32)
-    is_eob = slot == ntok
-    live = (slot < ntok) | is_eob
-    lcode = _J(T.LENGTH_TO_CODE)[jnp.clip(L, 0, T.MAX_MATCH)]
-    lit_sym = jnp.where(is_eob, 256,
-                        jnp.where(is_match, 257 + lcode, lit))
-    lit_sym = jnp.where(live, lit_sym, 0)
-    return {"lit_sym": lit_sym, "len": L, "dist": D,
-            "is_match": is_match & live, "live": live, "ntok": ntok}
+def _hist_from_sorted(skey, nbins: int, shift: int):
+    """Counts per bin from keys sorted by (bin << shift | pos)."""
+    sbin = skey >> shift
+    edges = jnp.searchsorted(sbin, jnp.arange(nbins + 1, dtype=jnp.int32))
+    return jnp.diff(edges)
 
 
 def block_plan(block, blen, level: int):
-    """Stage A for one block: tokens, trees, header fields, candidate sizes."""
+    """Stage A for one block: tokens, trees, header fields, candidate sizes.
+
+    Histograms come from one sort per alphabet (sort ~ 0.6 ns/elem on v5e
+    vs ~9 ns/elem for a scatter-add); the sorted keys are reused by
+    emit_block to apply the code tables without [N]-sized gathers.
+    """
     tk = tokenize_block(block, blen, level)
-    live_i = tk["live"].astype(jnp.int32)
-    match_i = tk["is_match"].astype(jnp.int32)
+    pos = jnp.arange(N, dtype=jnp.int32)
 
-    hist_lit = jnp.zeros((T.NUM_LITLEN,), jnp.int32).at[
-        tk["lit_sym"]].add(live_i)
-    dcode = _J(T.DIST_TO_CODE)[jnp.clip(tk["dist"], 0, T.WINDOW_SIZE)]
-    hist_dist = jnp.zeros((30,), jnp.int32).at[
-        jnp.where(tk["is_match"], dcode, 0)].add(match_i)
+    key_l = jnp.where(tk["mark"], tk["lit_sym"], 286) << 15 | pos
+    skey_l = jnp.sort(key_l)
+    hist_lit = jnp.zeros((T.NUM_LITLEN,), jnp.int32)
+    hist_lit = hist_lit.at[:286].set(_hist_from_sorted(skey_l, 286, 15))
+    hist_lit = hist_lit.at[256].add(1)              # end-of-block
 
-    lcode = jnp.clip(tk["lit_sym"] - 257, 0, 28)
-    len_eb = jnp.where(tk["is_match"], _J(T.LENGTH_EXTRA)[lcode], 0)
-    dist_eb = jnp.where(tk["is_match"], _J(T.DIST_EXTRA)[dcode], 0)
-    extra_total = jnp.sum(len_eb + dist_eb)
+    key_d = jnp.where(tk["is_match"], tk["dcode"], 30) << 15 | pos
+    skey_d = jnp.sort(key_d)
+    hist_dist = jnp.zeros((30,), jnp.int32)
+    hist_dist = hist_dist.at[:30].set(_hist_from_sorted(skey_d, 30, 15))
+
+    m_i = tk["is_match"].astype(jnp.int32)
+    extra_total = jnp.sum((_len_eb(tk["lcode"]) + _dist_eb(tk["dcode"]))
+                          * m_i)
 
     dyn_lit_lens = H.huffman_code_lengths(hist_lit, T.MAX_CODE_LEN)
     dyn_dist_lens = H.huffman_code_lengths(hist_dist, T.MAX_CODE_LEN)
@@ -115,10 +160,38 @@ def block_plan(block, blen, level: int):
     dyn_bits = (3 + header_bits + jnp.sum(hist_lit * dyn_lit_lens)
                 + jnp.sum(hist_dist * dyn_dist_lens) + extra_total)
 
-    return {"tk": tk, "dcode": dcode, "len_eb": len_eb, "dist_eb": dist_eb,
+    return {"tk": tk, "skey_l": skey_l, "skey_d": skey_d,
+            "hist_lit": hist_lit, "hist_dist": hist_dist,
             "dyn_lit_lens": dyn_lit_lens, "dyn_dist_lens": dyn_dist_lens,
             "header_vals": hv, "header_lens": hl,
             "fixed_bits": fixed_bits, "dyn_bits": dyn_bits}
+
+
+def _apply_table_sorted(skey, counts, codes, lens, nbins: int):
+    """Per-position (code, len) lookup without an [N] gather.
+
+    skey: keys (bin << 15 | pos) sorted ascending; counts[bin] — the
+    histogram of the first `nbins` bins (bin == nbins marks dead lanes).
+    Seeds each bin's (code|len) at its first sorted slot (a tiny scatter of
+    `nbins` elements), fills forward with one scan, then restores position
+    order with one sort.  Returns (code [N], len [N]) position-ordered.
+    """
+    starts = jnp.cumsum(counts) - counts            # [nbins]
+    pack = codes[:nbins] | (lens[:nbins] << 15)     # code<=15 bits, len<=4
+    tgt = jnp.where(counts > 0, starts, N)
+    seed = jnp.zeros((N,), jnp.int32).at[tgt].set((pack << 1) | 1,
+                                                  mode="drop")
+
+    def comb(a, b):
+        return jnp.where(b > 0, b, a)
+
+    filled = jax.lax.associative_scan(comb, seed) >> 1
+    sbin = skey >> 15
+    code = jnp.where(sbin < nbins, filled & 0x7FFF, 0)
+    ln = jnp.where(sbin < nbins, filled >> 15, 0)
+    _, code, ln = jax.lax.sort([skey & 0x7FFF, code, ln],
+                               dimension=0, num_keys=1)
+    return code, ln
 
 
 def choose_blocks(fixed_bits, dyn_bits, blens, live, level: int,
@@ -163,7 +236,7 @@ def emit_block(block, blen, plan, choice, pad, bfinal):
     fixed = choice == CH_FIXED
     dyn = choice == CH_DYN
 
-    # --- code tables for the huffman paths ---
+    # --- code tables for the huffman paths (small [288]/[30] arrays) ---
     dyn_lit_codes, _ = H.canonical_codes(plan["dyn_lit_lens"])
     dyn_dist_codes, _ = H.canonical_codes(plan["dyn_dist_lens"])
     fx_lit_codes, _ = H.canonical_codes(_J(T.FIXED_LITLEN_LENGTHS))
@@ -175,19 +248,21 @@ def emit_block(block, blen, plan, choice, pad, bfinal):
     dist_lens = jnp.where(dyn, plan["dyn_dist_lens"],
                           _J(T.FIXED_DIST_LENGTHS)[:30])
 
-    # --- token entries: (lit code, len extra, dist code, dist extra) ---
-    s = tk["lit_sym"]
-    live_tok = tk["live"] & ~stored
-    lc = jnp.clip(s - 257, 0, 28)
-    e_lit_v = lit_codes[s]
-    e_lit_l = jnp.where(live_tok, lit_lens[s], 0)
-    e_le_v = tk["len"] - _J(T.LENGTH_BASE)[lc]
-    e_le_l = jnp.where(live_tok & tk["is_match"], plan["len_eb"], 0)
-    dc = plan["dcode"]
-    e_dc_v = dist_codes[dc]
-    e_dc_l = jnp.where(live_tok & tk["is_match"], dist_lens[dc], 0)
-    e_de_v = tk["dist"] - _J(T.DIST_BASE)[dc]
-    e_de_l = jnp.where(live_tok & tk["is_match"], plan["dist_eb"], 0)
+    # --- per-position (code, len) via the sorted keys — no [N] gathers ---
+    cnt_l = plan["hist_lit"].at[256].add(-1)        # sorted keys lack EOB
+    e_lit_v, e_lit_l = _apply_table_sorted(plan["skey_l"], cnt_l[:286],
+                                           lit_codes, lit_lens, 286)
+    e_dc_v, e_dc_l = _apply_table_sorted(plan["skey_d"], plan["hist_dist"],
+                                         dist_codes, dist_lens, 30)
+
+    live_tok = tk["mark"] & ~stored
+    m = tk["is_match"]
+    e_lit_l = jnp.where(live_tok, e_lit_l, 0)
+    e_le_v = tk["len"] - _len_base(tk["lcode"])
+    e_le_l = jnp.where(live_tok & m, _len_eb(tk["lcode"]), 0)
+    e_dc_l = jnp.where(live_tok & m, e_dc_l, 0)
+    e_de_v = tk["dist"] - _dist_base(tk["dcode"])
+    e_de_l = jnp.where(live_tok & m, _dist_eb(tk["dcode"]), 0)
     tok_vals = jnp.stack([e_lit_v, e_le_v, e_dc_v, e_de_v], 1).reshape(-1)
     tok_lens = jnp.stack([e_lit_l, e_le_l, e_dc_l, e_de_l], 1).reshape(-1)
 
@@ -204,8 +279,11 @@ def emit_block(block, blen, plan, choice, pad, bfinal):
     hv = plan["header_vals"]
     hl = jnp.where(dyn, plan["header_lens"], 0)
 
-    vals = jnp.concatenate([hdr3, hv, tok_vals])
-    lens = jnp.concatenate([hdr3_l, hl, tok_lens])
+    # --- end-of-block entry (sym 256) ---
+    eob = jnp.stack([lit_codes[256], jnp.where(stored, 0, lit_lens[256])])
+
+    vals = jnp.concatenate([hdr3, hv, tok_vals, eob[:1]])
+    lens = jnp.concatenate([hdr3_l, hl, tok_lens, eob[1:]])
     words, nbits = BP.pack_bits(vals, lens, WB)
 
     # --- stored payload: whole-block funnel shift into place ---

@@ -2,21 +2,28 @@
 
 Reference analog: `class LZ77` (deflate.hpp:190-385).  Its fast path walks a
 mutable hash-chain table position by position and is *incorrect* (emits stale
-offsets — SURVEY.md B1); its best path is an O(n^2) scalar scan.  The
-TPU-native design replaces both with data-parallel passes, all deterministic:
+offsets — SURVEY.md B1); its best path is an O(n^2) scalar scan.
 
-  1. candidates: hash every 3-byte window, sort (hash, position) pairs — each
-     position's K most recent same-hash predecessors are its chain, exactly
-     the hash-chain semantics but produced by one sort instead of a serial
-     table. (XLA sort on 32k keys.)
-  2. extension: all candidates extend simultaneously, 4 bytes per round via
-     u32 gathers, with a while-loop that stops when no lane is still running.
-  3. selection: per position keep the longest match, nearest on ties
-     (matches the reference's level-3 tie rule, quirk Q4).
-  4. parse: greedy (fast) or one-step lazy (best); the token set = positions
-     reachable from 0 through next[i] = i + max(len_i, 1), computed by
-     pointer doubling in log2(n) scatter/gather rounds instead of a serial
-     walk.
+TPU-native design, v2 — built around the measured v5e cost model:
+elementwise/VPU ops and `lax.sort` run at ~0.6 ns/element, while gathers
+and scatters lower to ~9+ ns/element scalar memory ops.  The matcher
+therefore uses NO data-dependent gathers at all:
+
+  1. candidates: co-sort (hash<<15|pos) keys with eight 32-byte window
+     words; each position's K most recent same-hash predecessors are then
+     *adjacent lanes* (array shifts), exactly the reference's hash-chain
+     candidate set produced by one sort.
+  2. extension: compare the co-sorted window words at lag k — elementwise;
+     gives exact match lengths up to 32 bytes.
+  3. restore: one more co-sort by position (the keys are a permutation).
+  4. merge-extension: a 32-byte match whose continuation at i+32 chose the
+     same distance composes into a longer PROVEN match; three doubling
+     rounds over shift-by-32 arrays extend to the full 258 cap.
+  5. run-extension: for small lags d<=8 (byte runs, short periods), exact
+     lengths come from per-phase equality + suffix-min scans.
+  6. parse: greedy within 512-byte tiles via one `lax.scan` (sequential in
+     the tile-step dimension, vectorized over tiles x blocks); matches
+     truncate at tile ends so tiles stay independent.
 
 Everything is jittable and vmaps over blocks.
 """
@@ -28,6 +35,8 @@ import jax.numpy as jnp
 from deflate_tpu.utils.tables import BLOCK_SIZE, MAX_MATCH, MIN_MATCH
 
 HASH_BITS = 15
+WIN_WORDS = 8                    # 32-byte comparison window
+TILE = 512                       # parse tile size
 
 
 def _hash15(tri: jax.Array) -> jax.Array:
@@ -45,117 +54,212 @@ def _hash15(tri: jax.Array) -> jax.Array:
     return (t & jnp.uint32(0x7FFF)).astype(jnp.int32)
 
 
+def _aligned_words(block: jax.Array) -> jax.Array:
+    """u32 little-endian words at byte positions 0,4,8,... ([n/4])."""
+    b4 = block.astype(jnp.uint32).reshape(-1, 4)
+    return b4[:, 0] | (b4[:, 1] << 8) | (b4[:, 2] << 16) | (b4[:, 3] << 24)
+
+
 def _le_u32(block: jax.Array) -> jax.Array:
     """u32 little-endian load at every byte position (tail zero-padded).
 
-    TPU note: byte-granular shifted slices of a uint8 array lower to a
-    pathological relayout (measured 26 ms / 215 s compile per 8x32 KiB on
-    v5e).  Formulated instead as aligned u32 word loads + four funnel-shift
-    phases interleaved by a stack/reshape — 0.11 ms for the same shapes.
+    Kept for the decoder tests; phase-major internals below avoid the
+    byte interleave entirely (it lowers to a pathological relayout).
     """
-    b4 = block.astype(jnp.uint32).reshape(-1, 4)          # [n/4, 4] aligned
-    w = b4[:, 0] | (b4[:, 1] << 8) | (b4[:, 2] << 16) | (b4[:, 3] << 24)
+    w = _aligned_words(block)
     wn = jnp.concatenate([w[1:], jnp.zeros((1,), jnp.uint32)])
     phases = [w]
     for s in (8, 16, 24):
         phases.append((w >> s) | (wn << (32 - s)))
-    return jnp.stack(phases, axis=1).reshape(-1)          # [n]
+    return jnp.stack(phases, axis=1).reshape(-1)
 
 
-def find_matches(block: jax.Array, blen: jax.Array, num_cands: int,
-                 max_rounds: int = (MAX_MATCH + 6) // 4):
+def _shift_back(a: jax.Array, k: int, fill):
+    """a[i-k] with `fill` for i<k (array shift — elementwise)."""
+    return jnp.concatenate([jnp.full((k,), fill, a.dtype), a[:-k]])
+
+
+def _shift_fwd(a: jax.Array, k: int, fill):
+    """a[i+k] with `fill` past the end."""
+    return jnp.concatenate([a[k:], jnp.full((k,), fill, a.dtype)])
+
+
+def _xor_bytes_eq(x: jax.Array) -> jax.Array:
+    """bytes equal in a u32 xor: 4 if x==0 else index of lowest set byte."""
+    lsb = x & (jnp.uint32(0) - x)
+    return jnp.where(x == 0, 4,
+           jnp.where(lsb & jnp.uint32(0xFF), 0,
+           jnp.where(lsb & jnp.uint32(0xFF00), 1,
+           jnp.where(lsb & jnp.uint32(0xFF0000), 2, 3)))).astype(jnp.int32)
+
+
+def find_matches(block: jax.Array, blen: jax.Array, num_cands: int):
     """Best match (length, distance) at every position of one block.
 
     block: uint8 [n] (n = BLOCK_SIZE, zero padding past blen)
     blen:  int32 scalar — valid bytes
     num_cands: static chain depth K (4 for fast, 16+ for best)
 
-    Returns (length int32 [n], dist int32 [n]); length < MIN_MATCH means no
-    usable match at that position.
+    Returns (length int32 [n], dist int32 [n]) in position order; length
+    < MIN_MATCH means no usable match.
     """
     n = block.shape[0]
-    u32 = _le_u32(block)
-    tri = u32 & jnp.uint32(0x00FFFFFF)
-    h = _hash15(tri)
+    nw = n // 4
+    w = _aligned_words(block)                       # [n/4]
+    # word shifts w[i+j] for the window payloads
+    wsh = [w]
+    for j in range(1, WIN_WORDS + 2):
+        wsh.append(_shift_fwd(w, j, jnp.uint32(0)))
 
-    pos = jnp.arange(n, dtype=jnp.int32)
-    valid = pos < blen - (MIN_MATCH - 1)          # a 3-byte window exists
-    # key packs (hash << 15 | position); invalid positions sort to the back
-    # and carry a unique hash so they never chain with real ones
-    key = jnp.where(valid, (h << 15) | pos, (1 << 30) + pos)
-    skey = jnp.sort(key)
+    # phase-major window words: win[j] at byte position 4i+p is
+    # (w[i+j] >> 8p) | (w[i+j+1] << (32-8p)); concatenation of the four
+    # phase arrays — never interleaved (that relayout is pathological)
+    wins = []
+    for j in range(WIN_WORDS):
+        phases = []
+        for p in range(4):
+            if p == 0:
+                phases.append(wsh[j])
+            else:
+                phases.append((wsh[j] >> (8 * p))
+                              | (wsh[j + 1] << (32 - 8 * p)))
+        wins.append(jnp.concatenate(phases))        # [n] phase-major
+
+    iw = jnp.arange(nw, dtype=jnp.int32)
+    pos_pm = jnp.concatenate([4 * iw + p for p in range(4)])
+    h = _hash15(wins[0] & jnp.uint32(0x00FFFFFF))
+    valid = pos_pm < blen - (MIN_MATCH - 1)
+    key = jnp.where(valid, (h << 15) | pos_pm, (1 << 30) + pos_pm)
+
+    sorted_ops = jax.lax.sort([key] + wins, dimension=0, num_keys=1)
+    skey, swins = sorted_ops[0], sorted_ops[1:]
     spos = skey & 0x7FFF
     shash = skey >> 15
+    svalid = (skey < (1 << 30)).astype(jnp.int32)
+    slimit = jnp.minimum(MAX_MATCH, blen - spos)
 
-    # K most recent predecessors in the same hash bucket.  Layout note: all
-    # per-candidate state is [K, n] — n must live on the TPU lane axis; a
-    # [n, K<=16] layout uses 4/128 lanes and relayouts on every op
-    # (measured ~12 ms per extension round vs ~10 us this way).
-    inv = jnp.zeros((n,), jnp.int32).at[spos].set(pos)  # sort inverse perm
-    cands = []
-    for k in range(1, num_cands + 1):
-        prev = jnp.concatenate([jnp.full((k,), -1, jnp.int32), spos[:-k]])
-        ph = jnp.concatenate([jnp.full((k,), -1, jnp.int32), shash[:-k]])
-        cands.append(jnp.where(ph == shash, prev, -1)[inv])
-    cand = jnp.stack(cands, axis=0)                # [K, n]
+    K = num_cands
+    best_l = jnp.zeros((n,), jnp.int32)
+    best_d = jnp.zeros((n,), jnp.int32)
+    for k in range(1, K + 1):
+        same = ((shash == _shift_back(shash, k, -1)).astype(jnp.int32)
+                * svalid * _shift_back(svalid, k, 0))
+        dist = spos - _shift_back(spos, k, 0)
+        # exact match length <= 32 via first differing window word
+        L = jnp.zeros((n,), jnp.int32)
+        run = jnp.ones((n,), jnp.int32)
+        for j in range(WIN_WORDS):
+            x = swins[j] ^ _shift_back(swins[j], k, jnp.uint32(0))
+            L = L + run * _xor_bytes_eq(x)
+            run = run * (x == 0).astype(jnp.int32)
+        L = jnp.minimum(L, slimit) * same
+        L = jnp.where((L == MIN_MATCH) & (dist > 4096), 0, L)  # too-far
+        better = L > best_l
+        best_l = jnp.where(better, L, best_l)
+        best_d = jnp.where(better, dist, best_d)
 
-    ok = (cand >= 0).astype(jnp.int32)             # [K, n]; int32, not bool —
-    ci = jnp.where(ok > 0, cand, 0)                # bool carries relayout
+    # restore position order: spos is a permutation of 0..n-1
+    _, length, dist = jax.lax.sort([spos, best_l, best_d],
+                                   dimension=0, num_keys=1)
 
-    # parallel extension, 4 bytes per round.  The current-position side is
-    # an *affine* index — materialized as a dynamic_slice of a padded copy
-    # (an affine gather lowers pathologically on v5e; a slice is free).
-    # The candidate side is a genuine random gather (cheap).
-    pad = 4 * max_rounds + 4
-    u_pad = jnp.concatenate([u32, jnp.zeros((pad,), jnp.uint32)])
-    limit = jnp.minimum(MAX_MATCH, blen - pos)     # [n]
-    limit = jnp.maximum(limit, 0)
+    # ---- merge-extension: compose verified 32-byte pieces -------------
+    # linked[i]: the match at i fills its window AND i+32 continues at the
+    # same distance — then [i, i+64) provably matches at that distance.
+    cap = 4 * WIN_WORDS
+    limit = jnp.maximum(jnp.minimum(MAX_MATCH, blen -
+                                    jnp.arange(n, dtype=jnp.int32)), 0)
+    nxt_d = _shift_fwd(dist, cap, 0)
+    nxt_l = _shift_fwd(length, cap, 0)
+    linked = ((length == cap) & (dist > 0) & (nxt_d == dist)
+              & (nxt_l > 0)).astype(jnp.int32)
+    # chain length via 3 doubling rounds (8 hops cover 258)
+    c = linked
+    alll = linked
+    for r in range(3):
+        s = cap * (1 << r)
+        c = c + alll * _shift_fwd(c, s, 0)
+        alll = alll * _shift_fwd(alll, s, 0)
+    c = jnp.minimum(c, 8)
+    # tail length at node i + 32*c  (c <= 8: 9-way select of shifted arrays)
+    tail = jnp.zeros((n,), jnp.int32)
+    for hops in range(9):
+        sel = c == hops
+        tl = length if hops == 0 else _shift_fwd(length, cap * hops, 0)
+        td = dist if hops == 0 else _shift_fwd(dist, cap * hops, 0)
+        tl = jnp.where((hops == 0) | (td == dist), tl, 0)
+        tail = jnp.where(sel, tl, tail)
+    merged = jnp.where(length == cap, cap * c + tail, length)
+    length = jnp.minimum(jnp.maximum(length, merged), limit)
 
-    def round_cond(st):
-        _, _, r, nactive = st
-        return (r < max_rounds) & (nactive > 0)
+    # ---- run-extension: exact lengths for small lags (d <= 8) ----------
+    run_l, run_d = _small_lag_runs(block, blen, w, max_lag=8)
+    better = run_l > length
+    length = jnp.where(better, run_l, length)
+    dist = jnp.where(better, run_d, dist)
 
-    def round_body(st):
-        mlen, active, r, _ = st
-        off = r * 4
-        a = jax.lax.dynamic_slice(u_pad, (off,), (n,))[None, :]
-        b = u_pad[ci + off]
-        x = a ^ b
-        # bytes equal in this round: 0..4 via position of first xor byte
-        eq4 = (x == 0).astype(jnp.int32)
-        # first differing byte: lowest set bit of x
-        lsb = x & (jnp.uint32(0) - x)
-        nb = jnp.where(x == 0, 4,
-             jnp.where(lsb & jnp.uint32(0xFF), 0,
-             jnp.where(lsb & jnp.uint32(0xFF00), 1,
-             jnp.where(lsb & jnp.uint32(0xFF0000), 2, 3)))).astype(jnp.int32)
-        mlen = mlen + active * nb
-        active = active * eq4
-        return mlen, active, r + 1, jnp.sum(active)
+    usable = length >= MIN_MATCH
+    return (jnp.where(usable, length, 0), jnp.where(usable, dist, 0))
 
-    mlen0 = jnp.zeros((num_cands, n), jnp.int32)
-    mlen, _, _, _ = jax.lax.while_loop(
-        round_cond, round_body, (mlen0, ok, 0, jnp.sum(ok)))
-    mlen = jnp.minimum(mlen, limit[None, :])
-    mlen = mlen * ok * valid.astype(jnp.int32)[None, :]
 
-    dist = pos[None, :] - ci                        # [K, n] (>=1 where ok)
+def _small_lag_runs(block, blen, w, max_lag: int):
+    """Exact match lengths at fixed small distances via per-phase scans.
 
-    # drop marginal far matches (zlib "too_far" heuristic): len==3 & dist>4096
-    mlen = jnp.where((mlen == MIN_MATCH) & (dist > 4096), 0, mlen)
+    For lag d: eq[x] = block[x]==block[x-d]; the match length at distance
+    d from position x is the count of consecutive eq from x onward,
+    computed as (next-false suffix-min) - x.  All elementwise + 4 scans.
+    """
+    n = block.shape[0]
+    nw = n // 4
+    INF = jnp.int32(1 << 20)
+    iw = jnp.arange(nw, dtype=jnp.int32)
+    # per-phase byte arrays B_p[i] = block[4i+p]
+    bp = [((w >> (8 * p)) & jnp.uint32(0xFF)).astype(jnp.int32)
+          for p in range(4)]
 
-    # longest match wins; candidates are ordered nearest-first and the
-    # strictly-greater compare keeps the first maximum, so ties go to the
-    # smallest distance (Q4).  Unrolled over the static K — no argmax along
-    # a short axis (which forces a relayout).
-    blen_ = mlen[0]
-    bdist = dist[0]
-    for k in range(1, num_cands):
-        better = mlen[k] > blen_
-        blen_ = jnp.where(better, mlen[k], blen_)
-        bdist = jnp.where(better, dist[k], bdist)
-    keep = blen_ >= MIN_MATCH
-    return jnp.where(keep, blen_, 0), jnp.where(keep, bdist, 0)
+    best_l = jnp.zeros((n,), jnp.int32)
+    best_d = jnp.zeros((n,), jnp.int32)
+    pos_pm = jnp.concatenate([4 * iw + p for p in range(4)])
+    limit = jnp.maximum(jnp.minimum(MAX_MATCH, blen - pos_pm), 0)
+
+    for d in range(1, max_lag + 1):
+        # eq_p[i] = block[4i+p] == block[4i+p-d]
+        falses = []
+        for p in range(4):
+            q = p - d
+            p2 = q & 3
+            sh = (q - p2) // 4                      # <= 0
+            other = bp[p2] if sh == 0 else _shift_back(bp[p2], -sh, -1)
+            eq = bp[p] == other
+            x = 4 * iw + p
+            falses.append(jnp.where(eq & (x < blen), INF, x))
+        # nf[x] = first position >= x with eq false (any phase):
+        # suffix-min within each phase, then combine shifted phase mins
+        sufmin = [jax.lax.associative_scan(jnp.minimum, f, reverse=True)
+                  for f in falses]
+        nf_p = []
+        for p in range(4):
+            cands = []
+            for p2 in range(4):
+                if p2 >= p:
+                    cands.append(sufmin[p2])
+                else:                               # next word for earlier phase
+                    cands.append(_shift_fwd(sufmin[p2], 1, INF))
+            m = cands[0]
+            for cnd in cands[1:]:
+                m = jnp.minimum(m, cnd)
+            nf_p.append(m)
+        nf = jnp.concatenate(nf_p)                  # phase-major [n]
+        L = jnp.clip(nf - pos_pm, 0, MAX_MATCH)
+        L = jnp.minimum(L, limit)
+        L = jnp.where(pos_pm >= d, L, 0)            # need d bytes of history
+        better = L > best_l
+        best_l = jnp.where(better, L, best_l)
+        best_d = jnp.where(better, d, best_d)
+
+    # to position order via one sort (pos_pm is a permutation)
+    _, rl, rd = jax.lax.sort([pos_pm, best_l, best_d], dimension=0,
+                             num_keys=1)
+    return rl, rd
 
 
 def lazy_filter(length: jax.Array, dist: jax.Array):
@@ -167,25 +271,33 @@ def lazy_filter(length: jax.Array, dist: jax.Array):
 
 
 def greedy_parse(length: jax.Array, blen: jax.Array):
-    """Token positions of the greedy parse, via pointer doubling.
+    """Greedy tokenization, tile-local (TILE bytes) via one lax.scan.
 
-    length: int32 [n] — chosen match length per position (0/1/2 = literal).
-    Returns mark bool [n]: True where a token (literal or match) starts.
-    Positions >= blen are never marked.
+    Sequential only in the tile-step dimension; vectorized across tiles
+    (and blocks under vmap).  Matches truncate at tile boundaries so each
+    tile parses independently — worth ~1-2% ratio vs an unbounded greedy
+    chain, and removes every gather/scatter from the parse.
+
+    Returns (mark bool [n] — token starts; len_adj int32 [n] — the match
+    length actually used at marked positions, 0 for literals).
     """
     n = length.shape[0]
-    pos = jnp.arange(n, dtype=jnp.int32)
-    step = jnp.where(length >= MIN_MATCH, length, 1)
-    nxt = jnp.minimum(pos + step, n)               # n = absorbing sentinel
+    nt = n // TILE
+    Lt = length.reshape(nt, TILE).T                 # [TILE, nt] scan steps
+    base = jnp.arange(nt, dtype=jnp.int32) * TILE
 
-    # jump table with sentinel slot
-    g = jnp.concatenate([nxt, jnp.array([n], jnp.int32)])     # [n+1]
-    mark = jnp.zeros((n + 1,), jnp.bool_).at[0].set(True)
-    levels = max(1, (n - 1).bit_length())
-    for _ in range(levels):
-        # mark ∪ g(mark): scatter current marks through the jump table
-        tgt = jnp.where(mark, g, n)
-        mark = mark.at[tgt].max(mark)
-        g = g[g]                                    # double the jump
-    mark = mark[:n] & (pos < blen)
-    return mark
+    def step(p, xs):
+        t, lt = xs
+        pos = base + t
+        emit = (p == pos) & (pos < blen)
+        ml = jnp.minimum(lt, TILE - t)
+        ml = jnp.minimum(ml, blen - pos)
+        use = emit & (ml >= MIN_MATCH)
+        adv = jnp.where(emit, jnp.where(use, ml, 1), 0)
+        return p + adv, (emit, jnp.where(use, ml, 0))
+
+    ts = jnp.arange(TILE, dtype=jnp.int32)
+    _, (mark_t, len_t) = jax.lax.scan(step, base, (ts, Lt))
+    mark = mark_t.T.reshape(n)                      # [TILE,nt] -> [n]
+    len_adj = len_t.T.reshape(n)
+    return mark, len_adj

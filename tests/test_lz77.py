@@ -36,8 +36,9 @@ def _run(data: bytes, K=4, lazy=False):
         jnp.array(block), jnp.int32(blen))
     if lazy:
         length, dist = LZ.lazy_filter(length, dist)
-    mark = np.asarray(LZ.greedy_parse(length, jnp.int32(blen)))
-    return _reconstruct(block, blen, np.asarray(length), np.asarray(dist), mark)
+    mark, len_adj = LZ.greedy_parse(length, jnp.int32(blen))
+    return _reconstruct(block, blen, np.asarray(len_adj), np.asarray(dist),
+                        np.asarray(mark))
 
 
 CORPORA = {
@@ -79,5 +80,5 @@ def test_compression_quality_vs_naive():
     block = np.zeros(BLOCK_SIZE, np.uint8)
     block[:blen] = np.frombuffer(data, np.uint8)
     length, _ = LZ.find_matches(jnp.array(block), jnp.int32(blen), 4)
-    mark = np.asarray(LZ.greedy_parse(length, jnp.int32(blen)))
-    assert mark.sum() < blen // 20
+    mark, _ = LZ.greedy_parse(length, jnp.int32(blen))
+    assert np.asarray(mark).sum() < blen // 20
