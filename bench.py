@@ -1,12 +1,17 @@
 """Benchmark driver — prints ONE JSON line with the headline metric.
 
 Headline: DEFLATE encode throughput (level 2, the "fast" level) on one chip,
-MB/s of input consumed, with bit-exact output verified against python zlib.
+MB/s of input consumed, with the output verified against python zlib.
 
 Baseline anchor (BASELINE.md): the reference's level-2 hash-chain compressor
 measures ~15 MB/s on one CPU core — and even that emits corrupt streams
-(SURVEY.md B1); its fastest *correct* level runs at ~16-50 KB/s.  We compare
-against the generous 15 MB/s number.
+(SURVEY.md B1); its fastest *correct* level (3) runs at ~0.016-0.05 MB/s.
+We compare against the generous 15 MB/s number.
+
+Timing notes for this environment: the dev tunnel to the TPU has ~26 ms
+round-trip latency and slow device->host transfers, so the timed loop syncs
+on a scalar reduction of the outputs (full computation forced, no bulk
+transfer); verification pulls the stream once outside the timed region.
 """
 from __future__ import annotations
 
@@ -16,8 +21,7 @@ import time
 import numpy as np
 
 REF_ENCODE_MBPS = 15.0          # reference level-2, one CPU core (BASELINE.md)
-BATCH = 64                      # blocks per device call (2 MiB input)
-NBATCH = 8                      # total 16 MiB corpus
+NBLOCKS = 256                   # 8 MiB per device call
 LEVEL = 2
 
 
@@ -41,48 +45,35 @@ def main():
     import jax.numpy as jnp
 
     from deflate_tpu.models import encoder as E
-    from deflate_tpu.ops.bitpack import words_to_bytes
     from deflate_tpu.runtime import stitch as S
     from deflate_tpu.utils.tables import BLOCK_SIZE
 
     rng = np.random.default_rng(42)
-    nbytes = BATCH * NBATCH * BLOCK_SIZE
+    nbytes = NBLOCKS * BLOCK_SIZE
     corpus = make_corpus(rng, nbytes)
     buf = np.frombuffer(corpus, dtype=np.uint8)
 
-    batches = []
-    for j in range(NBATCH):
-        blocks = buf[j * BATCH * BLOCK_SIZE:(j + 1) * BATCH * BLOCK_SIZE]
-        blocks = jnp.asarray(blocks.reshape(BATCH, BLOCK_SIZE))
-        batches.append(blocks)
-    blens = jnp.full((BATCH,), BLOCK_SIZE, jnp.int32)
-    live = jnp.ones((BATCH,), bool)
+    blocks = jnp.asarray(buf.reshape(NBLOCKS, BLOCK_SIZE))
+    blens = jnp.full((NBLOCKS,), BLOCK_SIZE, jnp.int32)
+    live = jnp.ones((NBLOCKS,), bool)
 
-    def run_once():
-        outs = []
-        phase = jnp.int32(0)
-        for j, blocks in enumerate(batches):
-            fi = jnp.int32(BATCH - 1) if j == NBATCH - 1 else jnp.int32(-1)
-            w, t = E.encode_batch(blocks, blens, live, fi, LEVEL, phase)
-            phase = (phase + t) & 7
-            outs.append((w, t))
-        jax.block_until_ready(outs)
-        return outs
+    @jax.jit
+    def step(blocks):
+        w, t = E.encode_batch(blocks, blens, live, np.int32(NBLOCKS - 1),
+                              LEVEL, 0)
+        return w, t, t + w[0].astype(jnp.int32)    # scalar sync handle
 
-    # warmup + compile
-    outs = run_once()
-
-    # verify once: stitch + zlib round trip
-    segments = [(np.asarray(w), int(t)) for w, t in outs]
-    words, total = S.stitch_segments(segments)
-    encoded = S.words_to_bytes(words, total)
+    # warmup/compile, then verify once (bulk transfer outside timing)
+    words, total, _ = step(blocks)
+    encoded = S.words_to_bytes(np.asarray(words), int(total))
     import zlib
     assert zlib.decompress(encoded, -15) == corpus, "round trip failed"
 
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        run_once()
+        _, _, s = step(blocks)
+        _ = int(s)                                 # forces full execution
     dt = (time.perf_counter() - t0) / iters
 
     mbps = nbytes / dt / 1e6
@@ -98,8 +89,9 @@ def main():
             "ratio": round(ratio, 4),
             "device": str(jax.devices()[0].platform),
             "note": "baseline = reference level-2 ~15 MB/s 1 CPU core "
-                    "(which emits CORRUPT output, SURVEY.md B1); "
-                    "our output verified vs python zlib",
+                    "(which emits CORRUPT output, SURVEY.md B1; its fastest "
+                    "correct level manages ~0.02-0.05 MB/s); our output "
+                    "verified vs python zlib",
         },
     }
     print(json.dumps(result))

@@ -104,7 +104,7 @@ def decode_block(words, start, span: int, out_cap: int, nbits=None):
     # per-output-byte info: owning token start (fill forward), literal/copy
     tstart = jnp.full((out_cap,), -1, jnp.int32).at[idx].max(
         jnp.where(reached & (tok["out_adv"] > 0), opos, -1), mode="drop")
-    tstart = jax.lax.associative_scan(jnp.maximum, tstart)
+    tstart = jax.lax.cummax(tstart)
     litv = jnp.zeros((out_cap,), jnp.int32).at[idx].max(
         jnp.where(is_lit, tok["lit"], 0), mode="drop")
     dstv = jnp.zeros((out_cap,), jnp.int32).at[idx].max(

@@ -98,10 +98,11 @@ def tokenize_block(block, blen, level: int):
     gather token-slot indirection entirely.  Returns dict of [N] arrays.
     """
     if level >= 2:
+        # best level: deeper chains + 64-byte windows (lazy deferral hurts
+        # with window-capped candidate lengths — measured on the corpus)
         K = 4 if level == 2 else 16
-        length, dist = LZ.find_matches(block, blen, K)
-        if level >= 3:
-            length, dist = LZ.lazy_filter(length, dist)
+        ww = 8 if level == 2 else 16
+        length, dist = LZ.find_matches(block, blen, K, win_words=ww)
     else:
         length = jnp.zeros((N,), jnp.int32)
         dist = jnp.zeros((N,), jnp.int32)
@@ -179,13 +180,14 @@ def _apply_table_sorted(skey, counts, codes, lens, nbins: int):
     starts = jnp.cumsum(counts) - counts            # [nbins]
     pack = codes[:nbins] | (lens[:nbins] << 15)     # code<=15 bits, len<=4
     tgt = jnp.where(counts > 0, starts, N)
-    seed = jnp.zeros((N,), jnp.int32).at[tgt].set((pack << 1) | 1,
-                                                  mode="drop")
-
-    def comb(a, b):
-        return jnp.where(b > 0, b, a)
-
-    filled = jax.lax.associative_scan(comb, seed) >> 1
+    # fill-forward as a native cummax: tag seeds with their (increasing)
+    # bin number so later seeds dominate.  (An associative_scan with a
+    # custom select combiner after a scatter costs 200 s+ of XLA compile
+    # on v5e; cummax compiles in seconds.)
+    binno = jnp.arange(nbins, dtype=jnp.int32)
+    seed = jnp.full((N,), -1, jnp.int32).at[tgt].set(
+        (binno << 20) | pack, mode="drop")
+    filled = jax.lax.cummax(seed) & ((1 << 20) - 1)
     sbin = skey >> 15
     code = jnp.where(sbin < nbins, filled & 0x7FFF, 0)
     ln = jnp.where(sbin < nbins, filled >> 15, 0)
@@ -263,10 +265,30 @@ def emit_block(block, blen, plan, choice, pad, bfinal):
     e_dc_l = jnp.where(live_tok & m, e_dc_l, 0)
     e_de_v = tk["dist"] - _dist_base(tk["dcode"])
     e_de_l = jnp.where(live_tok & m, _dist_eb(tk["dcode"]), 0)
-    tok_vals = jnp.stack([e_lit_v, e_le_v, e_dc_v, e_de_v], 1).reshape(-1)
-    tok_lens = jnp.stack([e_lit_l, e_le_l, e_dc_l, e_de_l], 1).reshape(-1)
 
-    # --- preamble entries ---
+    # --- fuse each position's 4 fields into one <=48-bit packet ---------
+    # (a [4N] interleave + scatter costs ~9 ns/lane on v5e; fusing first
+    # cuts scatter lanes 4x and kills the stack-interleave relayout)
+    lo = jnp.zeros((N,), jnp.uint32)
+    hi = jnp.zeros((N,), jnp.uint32)
+    sh = jnp.zeros((N,), jnp.int32)
+    for v, l in ((e_lit_v, e_lit_l), (e_le_v, e_le_l),
+                 (e_dc_v, e_dc_l), (e_de_v, e_de_l)):
+        fld = (v.astype(jnp.uint32)
+               & ((jnp.uint32(1) << jnp.minimum(l, 16).astype(jnp.uint32))
+                  - 1))
+        shc = jnp.clip(sh, 0, 31).astype(jnp.uint32)
+        in_lo = sh < 32
+        lo = lo | jnp.where(in_lo, fld << shc, 0)
+        spill = jnp.where(in_lo & (shc > 0),
+                          fld >> (jnp.uint32(32) - jnp.maximum(shc, 1)), 0)
+        hi = hi | jnp.where(in_lo, spill,
+                            fld << jnp.clip(sh - 32, 0, 31).astype(jnp.uint32))
+        sh = sh + l
+    tok_off = jnp.cumsum(sh) - sh                   # token-segment offsets
+    tok_bits = tok_off[-1] + sh[-1]
+
+    # --- preamble + dynamic header + EOB, packed densely ----------------
     btype = jnp.where(stored, 0, jnp.where(fixed, 1, 2))
     hdr3 = jnp.stack([bfinal.astype(jnp.int32) | (btype << 1),
                       jnp.int32(0),              # stored byte-align padding
@@ -275,16 +297,36 @@ def emit_block(block, blen, plan, choice, pad, bfinal):
                         jnp.where(stored, pad, 0),
                         jnp.where(stored, 16, 0),
                         jnp.where(stored, 16, 0)])
-
     hv = plan["header_vals"]
     hl = jnp.where(dyn, plan["header_lens"], 0)
+    hdr_words, hdr_bits = BP.pack_bits(
+        jnp.concatenate([hdr3, hv]), jnp.concatenate([hdr3_l, hl]), WB)
 
-    # --- end-of-block entry (sym 256) ---
-    eob = jnp.stack([lit_codes[256], jnp.where(stored, 0, lit_lens[256])])
+    # --- place token packets at hdr_bits + tok_off ----------------------
+    off = hdr_bits + tok_off
+    r = (off & 31).astype(jnp.uint32)
+    w = off >> 5
+    o0 = lo << r
+    o1 = jnp.where(r == 0, hi,
+                   (lo >> (jnp.uint32(32) - jnp.maximum(r, 1))) | (hi << r))
+    o2 = jnp.where(r == 0, jnp.uint32(0),
+                   hi >> (jnp.uint32(32) - jnp.maximum(r, 1)))
+    words = hdr_words
+    words = words.at[w].add(o0, mode="drop")
+    words = words.at[w + 1].add(o1, mode="drop")
+    words = words.at[w + 2].add(o2, mode="drop")
 
-    vals = jnp.concatenate([hdr3, hv, tok_vals, eob[:1]])
-    lens = jnp.concatenate([hdr3_l, hl, tok_lens, eob[1:]])
-    words, nbits = BP.pack_bits(vals, lens, WB)
+    # --- end-of-block code ----------------------------------------------
+    eob_off = hdr_bits + tok_bits
+    eob_len = jnp.where(stored, 0, lit_lens[256])
+    ev = (lit_codes[256].astype(jnp.uint32)
+          & ((jnp.uint32(1) << eob_len.astype(jnp.uint32)) - 1))
+    er = (eob_off & 31).astype(jnp.uint32)
+    words = words.at[eob_off >> 5].add(ev << er, mode="drop")
+    words = words.at[(eob_off >> 5) + 1].add(
+        jnp.where(er == 0, jnp.uint32(0),
+                  ev >> (jnp.uint32(32) - jnp.maximum(er, 1))), mode="drop")
+    nbits = eob_off + eob_len
 
     # --- stored payload: whole-block funnel shift into place ---
     b4 = block.astype(jnp.uint32).reshape(-1, 4)

@@ -106,14 +106,14 @@ def parse_dynamic_header(words: jax.Array, start: jax.Array):
     defining = real & (sym < 19) & (sym != 16)
     dval = jnp.where(sym < 16, sym, 0)
     packed = jnp.where(defining, (i << 5) | dval, -1)
-    lastdef = jax.lax.associative_scan(jnp.maximum, packed)
+    lastdef = jax.lax.cummax(packed)
     v = jnp.where(sym == 16, jnp.maximum(lastdef, 0) & 31, dval)
 
     # --- phase 4: scatter run starts, fill forward ------------------------
     run_start = jnp.where(real, cum, NLTOT)
     owner = jnp.full((NLTOT,), -1, jnp.int32).at[run_start].max(
         jnp.where(real, (run_start << 5) | v, -1), mode="drop")
-    owner = jax.lax.associative_scan(jnp.maximum, owner)
+    owner = jax.lax.cummax(owner)
     lens = jnp.where(owner >= 0, owner & 31, 0)      # [NLTOT]
 
     j = jnp.arange(T.NUM_LITLEN, dtype=jnp.int32)

@@ -136,7 +136,7 @@ def emit_block_output(tok, reached, out_len: int):
     # per-output-byte token info via scatter + running max fill
     tstart = jnp.full((out_len,), -1, jnp.int32).at[idx].max(
         jnp.where(reached & (tok["out_adv"] > 0), opos, -1), mode="drop")
-    tstart = jax.lax.associative_scan(jnp.maximum, tstart)  # fill forward
+    tstart = jax.lax.cummax(tstart)  # fill forward
 
     litv = jnp.zeros((out_len,), jnp.int32).at[idx].max(
         jnp.where(is_lit, tok["lit"], 0), mode="drop")

@@ -93,12 +93,16 @@ def _xor_bytes_eq(x: jax.Array) -> jax.Array:
            jnp.where(lsb & jnp.uint32(0xFF0000), 2, 3)))).astype(jnp.int32)
 
 
-def find_matches(block: jax.Array, blen: jax.Array, num_cands: int):
+def find_matches(block: jax.Array, blen: jax.Array, num_cands: int,
+                 win_words: int = WIN_WORDS):
     """Best match (length, distance) at every position of one block.
 
     block: uint8 [n] (n = BLOCK_SIZE, zero padding past blen)
     blen:  int32 scalar — valid bytes
     num_cands: static chain depth K (4 for fast, 16+ for best)
+    win_words: comparison window in u32 words (8 = 32 bytes for the fast
+               level, 16 = 64 bytes for best — longer windows mean fewer
+               cap-blind candidate choices)
 
     Returns (length int32 [n], dist int32 [n]) in position order; length
     < MIN_MATCH means no usable match.
@@ -108,14 +112,14 @@ def find_matches(block: jax.Array, blen: jax.Array, num_cands: int):
     w = _aligned_words(block)                       # [n/4]
     # word shifts w[i+j] for the window payloads
     wsh = [w]
-    for j in range(1, WIN_WORDS + 2):
+    for j in range(1, win_words + 2):
         wsh.append(_shift_fwd(w, j, jnp.uint32(0)))
 
     # phase-major window words: win[j] at byte position 4i+p is
     # (w[i+j] >> 8p) | (w[i+j+1] << (32-8p)); concatenation of the four
     # phase arrays — never interleaved (that relayout is pathological)
     wins = []
-    for j in range(WIN_WORDS):
+    for j in range(win_words):
         phases = []
         for p in range(4):
             if p == 0:
@@ -148,7 +152,7 @@ def find_matches(block: jax.Array, blen: jax.Array, num_cands: int):
         # exact match length <= 32 via first differing window word
         L = jnp.zeros((n,), jnp.int32)
         run = jnp.ones((n,), jnp.int32)
-        for j in range(WIN_WORDS):
+        for j in range(win_words):
             x = swins[j] ^ _shift_back(swins[j], k, jnp.uint32(0))
             L = L + run * _xor_bytes_eq(x)
             run = run * (x == 0).astype(jnp.int32)
@@ -162,10 +166,10 @@ def find_matches(block: jax.Array, blen: jax.Array, num_cands: int):
     _, length, dist = jax.lax.sort([spos, best_l, best_d],
                                    dimension=0, num_keys=1)
 
-    # ---- merge-extension: compose verified 32-byte pieces -------------
-    # linked[i]: the match at i fills its window AND i+32 continues at the
-    # same distance — then [i, i+64) provably matches at that distance.
-    cap = 4 * WIN_WORDS
+    # ---- merge-extension: compose verified window-sized pieces --------
+    # linked[i]: the match at i fills its window AND i+cap continues at the
+    # same distance — then [i, i+2*cap) provably matches at that distance.
+    cap = 4 * win_words
     limit = jnp.maximum(jnp.minimum(MAX_MATCH, blen -
                                     jnp.arange(n, dtype=jnp.int32)), 0)
     nxt_d = _shift_fwd(dist, cap, 0)
@@ -234,7 +238,7 @@ def _small_lag_runs(block, blen, w, max_lag: int):
             falses.append(jnp.where(eq & (x < blen), INF, x))
         # nf[x] = first position >= x with eq false (any phase):
         # suffix-min within each phase, then combine shifted phase mins
-        sufmin = [jax.lax.associative_scan(jnp.minimum, f, reverse=True)
+        sufmin = [jax.lax.cummin(f, reverse=True)
                   for f in falses]
         nf_p = []
         for p in range(4):
@@ -270,7 +274,7 @@ def lazy_filter(length: jax.Array, dist: jax.Array):
     return jnp.where(keep, length, 0), jnp.where(keep, dist, 0)
 
 
-def greedy_parse(length: jax.Array, blen: jax.Array):
+def greedy_parse(length: jax.Array, blen: jax.Array, lazy: bool = True):
     """Greedy tokenization, tile-local (TILE bytes) via one lax.scan.
 
     Sequential only in the tile-step dimension; vectorized across tiles
@@ -278,26 +282,37 @@ def greedy_parse(length: jax.Array, blen: jax.Array):
     tile parses independently — worth ~1-2% ratio vs an unbounded greedy
     chain, and removes every gather/scatter from the parse.
 
+    With `lazy`, deferral happens *inside* the parse: at a token start,
+    take a literal instead when the next position's match is strictly
+    longer (reference quirk Q4 semantics, but correct — evaluating the
+    rule only at token starts avoids the cascade of pre-zeroing matches
+    globally, which measurably hurts ratio with window-capped lengths).
+
     Returns (mark bool [n] — token starts; len_adj int32 [n] — the match
     length actually used at marked positions, 0 for literals).
     """
     n = length.shape[0]
     nt = n // TILE
+    nxt = jnp.concatenate([length[1:], jnp.zeros((1,), length.dtype)])
     Lt = length.reshape(nt, TILE).T                 # [TILE, nt] scan steps
+    Nx = nxt.reshape(nt, TILE).T
     base = jnp.arange(nt, dtype=jnp.int32) * TILE
 
     def step(p, xs):
-        t, lt = xs
+        t, lt, nx = xs
         pos = base + t
         emit = (p == pos) & (pos < blen)
         ml = jnp.minimum(lt, TILE - t)
         ml = jnp.minimum(ml, blen - pos)
         use = emit & (ml >= MIN_MATCH)
+        if lazy:
+            nx_t = jnp.minimum(jnp.minimum(nx, TILE - t - 1), blen - pos - 1)
+            use = use & ~(nx_t > ml)
         adv = jnp.where(emit, jnp.where(use, ml, 1), 0)
         return p + adv, (emit, jnp.where(use, ml, 0))
 
     ts = jnp.arange(TILE, dtype=jnp.int32)
-    _, (mark_t, len_t) = jax.lax.scan(step, base, (ts, Lt))
+    _, (mark_t, len_t) = jax.lax.scan(step, base, (ts, Lt, Nx))
     mark = mark_t.T.reshape(n)                      # [TILE,nt] -> [n]
     len_adj = len_t.T.reshape(n)
     return mark, len_adj
