@@ -274,7 +274,8 @@ def lazy_filter(length: jax.Array, dist: jax.Array):
     return jnp.where(keep, length, 0), jnp.where(keep, dist, 0)
 
 
-def greedy_parse(length: jax.Array, blen: jax.Array, lazy: bool = True):
+def greedy_parse(length: jax.Array, blen: jax.Array, lazy: bool = True,
+                 tile: int = TILE):
     """Greedy tokenization, tile-local (TILE bytes) via one lax.scan.
 
     Sequential only in the tile-step dimension; vectorized across tiles
@@ -292,26 +293,26 @@ def greedy_parse(length: jax.Array, blen: jax.Array, lazy: bool = True):
     length actually used at marked positions, 0 for literals).
     """
     n = length.shape[0]
-    nt = n // TILE
+    nt = n // tile
     nxt = jnp.concatenate([length[1:], jnp.zeros((1,), length.dtype)])
-    Lt = length.reshape(nt, TILE).T                 # [TILE, nt] scan steps
-    Nx = nxt.reshape(nt, TILE).T
-    base = jnp.arange(nt, dtype=jnp.int32) * TILE
+    Lt = length.reshape(nt, tile).T                 # [tile, nt] scan steps
+    Nx = nxt.reshape(nt, tile).T
+    base = jnp.arange(nt, dtype=jnp.int32) * tile
 
     def step(p, xs):
         t, lt, nx = xs
         pos = base + t
         emit = (p == pos) & (pos < blen)
-        ml = jnp.minimum(lt, TILE - t)
+        ml = jnp.minimum(lt, tile - t)
         ml = jnp.minimum(ml, blen - pos)
         use = emit & (ml >= MIN_MATCH)
         if lazy:
-            nx_t = jnp.minimum(jnp.minimum(nx, TILE - t - 1), blen - pos - 1)
+            nx_t = jnp.minimum(jnp.minimum(nx, tile - t - 1), blen - pos - 1)
             use = use & ~(nx_t > ml)
         adv = jnp.where(emit, jnp.where(use, ml, 1), 0)
         return p + adv, (emit, jnp.where(use, ml, 0))
 
-    ts = jnp.arange(TILE, dtype=jnp.int32)
+    ts = jnp.arange(tile, dtype=jnp.int32)
     _, (mark_t, len_t) = jax.lax.scan(step, base, (ts, Lt, Nx))
     mark = mark_t.T.reshape(n)                      # [TILE,nt] -> [n]
     len_adj = len_t.T.reshape(n)
