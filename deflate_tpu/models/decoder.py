@@ -193,6 +193,31 @@ def decode_stream(words, nbits, span: int, out_cap: int, max_blocks: int):
     return val.astype(jnp.uint8), total, nblocks, error
 
 
+def decode_block_standalone(words, start, span: int, out_cap: int):
+    """Decode ONE block whose back-references stay inside it (this
+    encoder's Q5 invariant — every block it emits is self-contained).
+
+    Used by the data-parallel manifest decoder (parallel/mesh.decode_mesh):
+    with per-block bit offsets known, blocks decode with no cross-block
+    dependency at all.  Returns (out uint8 [out_cap], produced, error).
+    """
+    blk = decode_block(words, start, span, out_cap)
+    o = jnp.arange(out_cap, dtype=jnp.int32)
+    known = blk["lit_flag"].astype(jnp.int32)
+    val = blk["lit_val"]
+    src = jnp.where(known > 0, o, o - blk["rel_src"])
+    live = o < blk["produced"]
+    error = blk["error"] | jnp.any(live & (known == 0) & (src < 0))
+    src = jnp.clip(src, 0, out_cap - 1)
+    for _ in range(max(1, (out_cap - 1).bit_length())):
+        ks = known[src]
+        vs = val[src]
+        val = jnp.where((known == 0) & (ks > 0), vs, val)
+        known = jnp.maximum(known, ks)
+        src = jnp.where(known > 0, src, src[src])
+    return val.astype(jnp.uint8), blk["produced"], error
+
+
 def inflate_device(data: bytes, out_size_hint: int | None = None) -> bytes:
     """Host driver: decode a raw DEFLATE stream on the device, escalating
     capacities on overflow and falling back to the host decoder on error."""

@@ -136,3 +136,71 @@ def compress_mesh(data: bytes, level: int = 2, mesh: Mesh | None = None) -> byte
         jnp.asarray(blocks), jnp.asarray(blens), jnp.asarray(live),
         jnp.int32(nblocks - 1), level, mesh)
     return words_to_bytes(np.asarray(words), int(total))
+
+
+@partial(jax.jit, static_argnames=("span", "out_cap", "mesh"))
+def decode_mesh(words, starts, out_lens, span: int, out_cap: int,
+                mesh: Mesh):
+    """Data-parallel decode of manifest-indexed blocks over `mesh`.
+
+    Blocks from this framework's encoder are self-contained (quirk Q5), so
+    with a manifest (runtime/manifest.py) giving each block's bit offset,
+    decode is embarrassingly parallel: every device decodes its shard of
+    blocks and the outputs all_gather back in order.
+
+    words:    uint32 [W] compressed stream (replicated)
+    starts:   int32 [B] per-block bit offsets (B divisible by mesh size)
+    out_lens: int32 [B] expected output bytes per block (0 = padding slot)
+    Returns (out uint8 [B, out_cap], produced int32 [B], error bool).
+    """
+    from deflate_tpu.models import decoder as D
+
+    def body(starts, out_lens):
+        out, produced, err = jax.vmap(
+            lambda s: D.decode_block_standalone(words, s, span, out_cap)
+        )(starts)
+        live = out_lens > 0
+        err = err & live
+        bad = live & (produced != out_lens)
+        out_all = jax.lax.all_gather(out, AXIS, tiled=True)
+        produced_all = jax.lax.all_gather(produced * live, AXIS, tiled=True)
+        err_any = jax.lax.psum(jnp.sum((err | bad).astype(jnp.int32)),
+                               AXIS) > 0
+        return out_all, produced_all, err_any
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return fn(starts, out_lens)
+
+
+def decompress_mesh(stream: bytes, manifest, mesh: Mesh | None = None) -> bytes:
+    """Host front-end: decode a manifest-indexed stream over a mesh."""
+    import numpy as np
+
+    from deflate_tpu.ops.bitpack import bytes_to_words
+    from deflate_tpu.ops.inflate_scan import SPAN
+    from deflate_tpu.utils.tables import BLOCK_SIZE
+
+    if mesh is None:
+        mesh = make_mesh()
+    ndev = mesh.devices.size
+    nb = len(manifest.blocks)
+    B = -(-nb // ndev) * ndev
+    starts = np.zeros((B,), np.int32)
+    out_lens = np.zeros((B,), np.int32)
+    for i, (off, _, olen) in enumerate(manifest.blocks):
+        starts[i] = off
+        out_lens[i] = olen
+    words, _ = bytes_to_words(stream)
+    out, produced, err = decode_mesh(
+        jnp.asarray(words), jnp.asarray(starts), jnp.asarray(out_lens),
+        SPAN, BLOCK_SIZE, mesh)
+    if bool(err):
+        raise ValueError("mesh decode failed (corrupt stream or manifest)")
+    out = np.asarray(out)
+    produced = np.asarray(produced)
+    return b"".join(out[i, :produced[i]].tobytes() for i in range(nb))

@@ -59,3 +59,18 @@ def test_dryrun_multichip():
     import __graft_entry__ as GE
 
     GE.dryrun_multichip(8)
+
+
+def test_decode_mesh_roundtrip():
+    from deflate_tpu.parallel import mesh as M2
+    from deflate_tpu.runtime import manifest as MF
+
+    mesh = M2.make_mesh(jax.devices()[:8])
+    rng = np.random.default_rng(21)
+    parts = [rng.integers(97, 123, 60000, dtype=np.uint8).tobytes(),
+             b"mesh decode! " * 5000,
+             rng.integers(0, 256, 40000, dtype=np.uint8).tobytes()]
+    data = b"".join(parts)
+    stream, man = MF.compress_with_manifest(data, level=2)
+    got = M2.decompress_mesh(stream, man, mesh)
+    assert got == data
