@@ -19,9 +19,7 @@ therefore uses NO data-dependent gathers at all:
   4. merge-extension: a 32-byte match whose continuation at i+32 chose the
      same distance composes into a longer PROVEN match; three doubling
      rounds over shift-by-32 arrays extend to the full 258 cap.
-  5. run-extension: for small lags d<=8 (byte runs, short periods), exact
-     lengths come from per-phase equality + suffix-min scans.
-  6. parse: greedy within 512-byte tiles via one `lax.scan` (sequential in
+  5. parse: greedy within 512-byte tiles via one `lax.scan` (sequential in
      the tile-step dimension, vectorized over tiles x blocks); matches
      truncate at tile ends so tiles stay independent.
 
@@ -195,75 +193,13 @@ def find_matches(block: jax.Array, blen: jax.Array, num_cands: int,
     merged = jnp.where(length == cap, cap * c + tail, length)
     length = jnp.minimum(jnp.maximum(length, merged), limit)
 
-    # ---- run-extension: exact lengths for small lags (d <= 8) ----------
-    run_l, run_d = _small_lag_runs(block, blen, w, max_lag=8)
-    better = run_l > length
-    length = jnp.where(better, run_l, length)
-    dist = jnp.where(better, run_d, dist)
+    # (A separate small-lag run-extension pass — _small_lag_runs — was
+    # measured redundant: merge-extension already chains run/periodic
+    # matches to 258, and the pass cost ~25 ms per 64-block batch for a
+    # <=2-byte ratio difference on run-heavy corpora.)
 
     usable = length >= MIN_MATCH
     return (jnp.where(usable, length, 0), jnp.where(usable, dist, 0))
-
-
-def _small_lag_runs(block, blen, w, max_lag: int):
-    """Exact match lengths at fixed small distances via per-phase scans.
-
-    For lag d: eq[x] = block[x]==block[x-d]; the match length at distance
-    d from position x is the count of consecutive eq from x onward,
-    computed as (next-false suffix-min) - x.  All elementwise + 4 scans.
-    """
-    n = block.shape[0]
-    nw = n // 4
-    INF = jnp.int32(1 << 20)
-    iw = jnp.arange(nw, dtype=jnp.int32)
-    # per-phase byte arrays B_p[i] = block[4i+p]
-    bp = [((w >> (8 * p)) & jnp.uint32(0xFF)).astype(jnp.int32)
-          for p in range(4)]
-
-    best_l = jnp.zeros((n,), jnp.int32)
-    best_d = jnp.zeros((n,), jnp.int32)
-    pos_pm = jnp.concatenate([4 * iw + p for p in range(4)])
-    limit = jnp.maximum(jnp.minimum(MAX_MATCH, blen - pos_pm), 0)
-
-    for d in range(1, max_lag + 1):
-        # eq_p[i] = block[4i+p] == block[4i+p-d]
-        falses = []
-        for p in range(4):
-            q = p - d
-            p2 = q & 3
-            sh = (q - p2) // 4                      # <= 0
-            other = bp[p2] if sh == 0 else _shift_back(bp[p2], -sh, -1)
-            eq = bp[p] == other
-            x = 4 * iw + p
-            falses.append(jnp.where(eq & (x < blen), INF, x))
-        # nf[x] = first position >= x with eq false (any phase):
-        # suffix-min within each phase, then combine shifted phase mins
-        sufmin = [jax.lax.cummin(f, reverse=True)
-                  for f in falses]
-        nf_p = []
-        for p in range(4):
-            cands = []
-            for p2 in range(4):
-                if p2 >= p:
-                    cands.append(sufmin[p2])
-                else:                               # next word for earlier phase
-                    cands.append(_shift_fwd(sufmin[p2], 1, INF))
-            m = cands[0]
-            for cnd in cands[1:]:
-                m = jnp.minimum(m, cnd)
-            nf_p.append(m)
-        nf = jnp.concatenate(nf_p)                  # phase-major [n]
-        L = jnp.clip(nf - pos_pm, 0, MAX_MATCH)
-        L = jnp.minimum(L, limit)
-        L = jnp.where(pos_pm >= d, L, 0)            # need d bytes of history
-        better = L > best_l
-        best_l = jnp.where(better, L, best_l)
-        best_d = jnp.where(better, d, best_d)
-
-    # to position order via one sort (pos_pm is a permutation)
-    _, rl, rd = jax.lax.sort([pos_pm, best_l, best_d], dimension=0,
-                             num_keys=1)
-    return rl, rd
 
 
 def lazy_filter(length: jax.Array, dist: jax.Array):

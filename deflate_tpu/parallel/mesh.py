@@ -195,10 +195,19 @@ def decompress_mesh(stream: bytes, manifest, mesh: Mesh | None = None) -> bytes:
     for i, (off, _, olen) in enumerate(manifest.blocks):
         starts[i] = off
         out_lens[i] = olen
+    # span bucketing: the manifest knows every block's compressed size, so
+    # the token-scan span shrinks to the largest block (up to 16x less
+    # chain-recovery work on compressible data)
+    max_bits = max(b[1] for b in manifest.blocks)
+    span = SPAN
+    for cand in (1 << 14, 1 << 16):
+        if max_bits + 64 <= cand:
+            span = cand + 64
+            break
     words, _ = bytes_to_words(stream)
     out, produced, err = decode_mesh(
         jnp.asarray(words), jnp.asarray(starts), jnp.asarray(out_lens),
-        SPAN, BLOCK_SIZE, mesh)
+        span, BLOCK_SIZE, mesh)
     if bool(err):
         raise ValueError("mesh decode failed (corrupt stream or manifest)")
     out = np.asarray(out)
