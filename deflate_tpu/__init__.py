@@ -23,7 +23,9 @@ from deflate_tpu.utils.tables import BLOCK_SIZE
 InflateError = _hi.InflateError
 
 __all__ = ["compress", "compress_file", "decompress", "decompress_zlib",
-           "decompress_file", "compress_zlib", "InflateError"]
+           "decompress_file", "compress_zlib", "compress_gzip",
+           "decompress_gzip", "compress_many", "decompress_many",
+           "InflateError"]
 
 _BATCH_BUCKETS = (1, 8, 64)
 
@@ -141,6 +143,117 @@ def compress_zlib(data, level: int = 2) -> bytes:
     hdr = bytes([0x78, 0x01])            # CM=8, CINFO=7, FCHECK -> 0x7801
     adler = _hi.adler32(bytes(data) if not isinstance(data, bytes) else data)
     return hdr + raw + adler.to_bytes(4, "big")
+
+
+def compress_gzip(data, level: int = 2) -> bytes:
+    """Compress into a gzip (RFC 1952) member — a container the reference
+    has no support for at all (it reads zlib only, and writes raw)."""
+    import zlib as _z
+
+    raw = compress(data, level)
+    payload = bytes(data) if isinstance(data, (bytes, bytearray)) \
+        else _as_u8(data).tobytes()
+    hdr = bytes([0x1F, 0x8B, 8, 0, 0, 0, 0, 0, 0, 255])
+    crc = _z.crc32(payload) & 0xFFFFFFFF
+    isize = len(payload) & 0xFFFFFFFF
+    return (hdr + raw + crc.to_bytes(4, "little")
+            + isize.to_bytes(4, "little"))
+
+
+def decompress_gzip(data) -> bytes:
+    """Decompress one gzip (RFC 1952) member, verifying CRC-32 and ISIZE."""
+    import zlib as _z
+
+    buf = bytes(data)
+    if len(buf) < 18 or buf[0] != 0x1F or buf[1] != 0x8B:
+        raise InflateError("not a gzip stream")
+    if buf[2] != 8:
+        raise InflateError("unsupported gzip compression method")
+    flg = buf[3]
+    ofs = 10
+    if flg & 0x04:                                   # FEXTRA
+        xlen = int.from_bytes(buf[ofs:ofs + 2], "little")
+        ofs += 2 + xlen
+    if flg & 0x08:                                   # FNAME
+        ofs = buf.index(0, ofs) + 1
+    if flg & 0x10:                                   # FCOMMENT
+        ofs = buf.index(0, ofs) + 1
+    if flg & 0x02:                                   # FHCRC
+        ofs += 2
+    out = decompress(buf[ofs:len(buf) - 8])
+    crc = int.from_bytes(buf[-8:-4], "little")
+    isize = int.from_bytes(buf[-4:], "little")
+    if _z.crc32(out) & 0xFFFFFFFF != crc:
+        raise InflateError("gzip crc32 mismatch")
+    if len(out) & 0xFFFFFFFF != isize:
+        raise InflateError("gzip isize mismatch")
+    return out
+
+
+def compress_many(buffers, level: int = 2) -> list:
+    """Compress many independent buffers in shared device batches.
+
+    The production-serving shape: B streams encode as one batched program
+    invocation instead of B separate calls.  Each buffer becomes its own
+    raw DEFLATE stream (own BFINAL block, own bit phase 0).
+    """
+    import jax.numpy as jnp
+
+    from deflate_tpu.models import encoder as E
+
+    if not 0 <= level <= 3:
+        raise ValueError(f"level must be 0..3, got {level}")
+    bufs = [_as_u8(b) for b in buffers]
+    # flatten all buffers' blocks into one batch, remembering ownership
+    owners = []                      # (buffer idx, is_final_block)
+    chunks = []
+    for bi, buf in enumerate(bufs):
+        nb = max(1, -(-len(buf) // BLOCK_SIZE))
+        for j in range(nb):
+            chunks.append(buf[j * BLOCK_SIZE:(j + 1) * BLOCK_SIZE])
+            owners.append((bi, j == nb - 1))
+
+    B = len(chunks)
+    blocks = np.zeros((B, BLOCK_SIZE), np.uint8)
+    blens = np.zeros((B,), np.int32)
+    for i, c in enumerate(chunks):
+        blocks[i, :len(c)] = c
+        blens[i] = len(c)
+
+    # per-buffer phase is always 0 at its start; buffers are independent,
+    # so encode each block batch with per-block bfinal via a mask trick:
+    # run encode per contiguous buffer segment using one batched plan.
+    # Simpler correct formulation: encode each buffer's blocks as its own
+    # segment but batch ALL plans/emits in one call using final mask.
+    finals = np.array([f for _, f in owners])
+    live = np.ones((B,), bool)
+    # encode_batch supports one final_idx; generalize by running it with
+    # final_idx=-1 and fixing BFINAL bits per buffer is invasive — instead
+    # group same-buffer blocks and exploit that choose_blocks only couples
+    # blocks through the running phase, which resets per buffer.  We call
+    # the batched planner once and emit with per-block bfinal & offsets
+    # computed per buffer on host.
+    words, per_bits = E.encode_blocks_multi(
+        jnp.asarray(blocks), jnp.asarray(blens), jnp.asarray(live),
+        jnp.asarray(finals),
+        jnp.asarray(np.array([o for o, _ in owners], np.int32)), level)
+    words = np.asarray(words).reshape(B, -1)
+    per_bits = np.asarray(per_bits)
+
+    out = []
+    i = 0
+    for bi, buf in enumerate(bufs):
+        nb = max(1, -(-len(buf) // BLOCK_SIZE))
+        segs = [(words[i + j], int(per_bits[i + j])) for j in range(nb)]
+        w, t = _stitch.stitch_segments(segs)
+        out.append(_stitch.words_to_bytes(w, t))
+        i += nb
+    return out
+
+
+def decompress_many(streams, device: bool = False) -> list:
+    """Decompress many independent raw DEFLATE streams."""
+    return [decompress(s, device=device) for s in streams]
 
 
 def compress_file(src: str, dst: str, level: int = 2) -> None:

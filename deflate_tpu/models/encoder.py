@@ -404,6 +404,49 @@ def encode_batch(blocks, blens, live, final_idx, level: int, phase0=0):
     return out, total
 
 
+@partial(jax.jit, static_argnames=("level",))
+def encode_blocks_multi(blocks, blens, live, finals, owner, level: int):
+    """Encode blocks belonging to MANY independent streams in one batch.
+
+    finals: bool [B] — block carries BFINAL (last block of its stream)
+    owner:  int32 [B] — stream id per block (blocks of a stream contiguous)
+
+    The bit-phase scan resets at stream boundaries (each stream starts at
+    phase 0); every block's words are returned standalone for the host to
+    stitch per stream.  Returns (words uint32 [B, WB], bits int32 [B]).
+    """
+    B = blocks.shape[0]
+    plans = jax.vmap(lambda b, l: block_plan(b, l, level))(blocks, blens)
+
+    def step(carry, x):
+        offset, prev_owner = carry
+        fb, db, bl, lv, ow = x
+        offset = jnp.where(ow != prev_owner, 0, offset)
+        pad = (-(offset + 3)) & 7
+        stored = 3 + pad + 32 + 8 * bl
+        if level == 0:
+            choice = jnp.int32(CH_STORED)
+        else:
+            choice = jnp.where(stored <= jnp.minimum(fb, db), CH_STORED,
+                               jnp.where(fb <= db, CH_FIXED, CH_DYN))
+        bits = jnp.where(choice == CH_STORED, stored,
+                         jnp.where(choice == CH_FIXED, fb, db))
+        bits = jnp.where(lv, bits, 0)
+        pad = jnp.where(lv, pad, 0)
+        return (offset + bits, ow), (choice, pad, bits)
+
+    (_, _), (choice, pad, bits) = jax.lax.scan(
+        step, (jnp.int32(0), jnp.int32(-1)),
+        (plans["fixed_bits"], plans["dyn_bits"], blens, live, owner))
+
+    words = jax.vmap(
+        lambda bl, ln, i, ch, pd, bf: emit_block(
+            bl, ln, jax.tree.map(lambda x: x[i], plans), ch, pd, bf)
+    )(blocks, blens, jnp.arange(B), choice, pad, finals)
+    words = jnp.where(live[:, None], words, 0)
+    return words, bits
+
+
 def plan_sizes(blocks, blens, live, level: int):
     """Size-only planning (no emission) — used by tests and stats."""
     plans = jax.vmap(lambda b, l: block_plan(b, l, level))(blocks, blens)
