@@ -256,12 +256,69 @@ def decompress_many(streams, device: bool = False) -> list:
     return [decompress(s, device=device) for s in streams]
 
 
-def compress_file(src: str, dst: str, level: int = 2) -> None:
-    with open(src, "rb") as f:
-        data = f.read()
-    out = compress(data, level)
-    with open(dst, "wb") as f:
-        f.write(out)
+def compress_file(src: str, dst: str, level: int = 2,
+                  chunk_blocks: int = 256) -> None:
+    """Streaming file->file compression in bounded memory.
+
+    Reads `chunk_blocks` 32 KiB blocks at a time (8 MiB by default),
+    encodes each chunk as one device batch, and appends complete bytes to
+    the output while carrying the bit-level tail across chunks — the
+    reference's BitFile flush-on-byte-boundary behavior
+    (deflate.hpp:160-182), without its single-shot memory profile.
+    """
+    import os as _os
+
+    import jax.numpy as jnp
+
+    from deflate_tpu.models import encoder as E
+
+    if not 0 <= level <= 3:
+        raise ValueError(f"level must be 0..3, got {level}")
+    size = _os.path.getsize(src)
+    nblocks_total = max(1, -(-size // BLOCK_SIZE))
+    chunk_bytes = chunk_blocks * BLOCK_SIZE
+
+    phase = 0
+    tail_byte = 0                   # partial byte carried across chunks
+    done_blocks = 0
+    with open(src, "rb") as fin, open(dst, "wb") as fout:
+        while True:
+            data = fin.read(chunk_bytes)
+            if not data and done_blocks:
+                break
+            buf = np.frombuffer(data, dtype=np.uint8)
+            take = max(1, -(-len(buf) // BLOCK_SIZE)) if (
+                len(buf) or done_blocks == 0) else 0
+            if take == 0:
+                break
+            B = _bucket(take)
+            blocks = np.zeros((B, BLOCK_SIZE), np.uint8)
+            blens = np.zeros((B,), np.int32)
+            for i in range(take):
+                c = buf[i * BLOCK_SIZE:(i + 1) * BLOCK_SIZE]
+                blocks[i, :len(c)] = c
+                blens[i] = len(c)
+            live = np.arange(B) < take
+            final_idx = (take - 1) if done_blocks + take == nblocks_total \
+                else -1
+            words, total = E.encode_batch(
+                jnp.asarray(blocks), jnp.asarray(blens), jnp.asarray(live),
+                jnp.int32(final_idx), level, jnp.int32(phase))
+            seg = np.asarray(words)
+            nbits = int(total)
+            # merge the carried tail with this segment at bit offset phase
+            w, bits = _stitch.stitch_segments(
+                [(np.array([tail_byte], np.uint32), phase), (seg, nbits)])
+            stream = _stitch.words_to_bytes(w, bits)
+            full = (phase + nbits) // 8
+            fout.write(stream[:full])
+            phase = (phase + nbits) & 7
+            tail_byte = stream[full] if phase else 0
+            done_blocks += take
+            if done_blocks >= nblocks_total:
+                break
+        if phase:
+            fout.write(bytes([tail_byte]))
 
 
 def decompress_file(src: str, dst: str) -> None:

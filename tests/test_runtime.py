@@ -80,3 +80,31 @@ def test_run_report():
     d = json.loads(r.emit())
     assert d["ratio"] == 0.3
     assert d["block_types"] == {"stored": 1, "fixed": 1, "dynamic": 2}
+
+
+def test_compress_file_streaming(tmp_path):
+    import zlib
+
+    rng = np.random.default_rng(17)
+    pat = rng.integers(0, 230, 1013, dtype=np.uint8)
+    data = np.tile(pat, 150)[: 4 * 32768 + 7777].tobytes()
+    src = tmp_path / "in.bin"
+    dst = tmp_path / "out.deflate"
+    src.write_bytes(data)
+    # small chunks force multiple segments and bit-tail carries
+    deflate_tpu.compress_file(str(src), str(dst), level=2, chunk_blocks=2)
+    enc = dst.read_bytes()
+    assert zlib.decompress(enc, -15) == data
+    # streaming output must equal the one-shot encoder's
+    assert enc == deflate_tpu.compress(data, 2)
+
+
+def test_decompress_file_roundtrip(tmp_path):
+    data = b"file roundtrip " * 9000
+    src = tmp_path / "a.bin"
+    mid = tmp_path / "a.deflate"
+    out = tmp_path / "a.out"
+    src.write_bytes(data)
+    deflate_tpu.compress_file(str(src), str(mid), level=3)
+    deflate_tpu.decompress_file(str(mid), str(out))
+    assert out.read_bytes() == data
