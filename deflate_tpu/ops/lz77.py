@@ -141,24 +141,44 @@ def find_matches(block: jax.Array, blen: jax.Array, num_cands: int,
     slimit = jnp.minimum(MAX_MATCH, blen - spos)
 
     K = num_cands
-    best_l = jnp.zeros((n,), jnp.int32)
-    best_d = jnp.zeros((n,), jnp.int32)
-    for k in range(1, K + 1):
-        same = ((shash == _shift_back(shash, k, -1)).astype(jnp.int32)
-                * svalid * _shift_back(svalid, k, 0))
-        dist = spos - _shift_back(spos, k, 0)
-        # exact match length <= 32 via first differing window word
+
+    def lag_body(shift_k, carry):
+        best_l, best_d = carry
+        same = ((shash == shift_k(shash, -1)).astype(jnp.int32)
+                * svalid * shift_k(svalid, 0))
+        dist = spos - shift_k(spos, 0)
+        # exact match length via first differing window word
         L = jnp.zeros((n,), jnp.int32)
         run = jnp.ones((n,), jnp.int32)
         for j in range(win_words):
-            x = swins[j] ^ _shift_back(swins[j], k, jnp.uint32(0))
+            x = swins[j] ^ shift_k(swins[j], jnp.uint32(0))
             L = L + run * _xor_bytes_eq(x)
             run = run * (x == 0).astype(jnp.int32)
         L = jnp.minimum(L, slimit) * same
         L = jnp.where((L == MIN_MATCH) & (dist > 4096), 0, L)  # too-far
         better = L > best_l
-        best_l = jnp.where(better, L, best_l)
-        best_d = jnp.where(better, dist, best_d)
+        return (jnp.where(better, L, best_l),
+                jnp.where(better, dist, best_d))
+
+    init = (jnp.zeros((n,), jnp.int32), jnp.zeros((n,), jnp.int32))
+    if K <= 8:
+        # small chain depth: unroll with static shifts
+        best = init
+        for k in range(1, K + 1):
+            best = lag_body(
+                lambda a, fill, k=k: _shift_back(a, k, fill), best)
+    else:
+        # deep chains (best level): one rolled loop keeps the graph small
+        # (K=48 x 32 window words unrolled costs minutes of XLA compile)
+        def body(k, best):
+            def shift_k(a, fill):
+                pad = jnp.concatenate(
+                    [jnp.full((K,), fill, a.dtype), a])
+                return jax.lax.dynamic_slice(pad, (K - k,), (n,))
+            return lag_body(shift_k, best)
+
+        best = jax.lax.fori_loop(1, K + 1, body, init)
+    best_l, best_d = best
 
     # restore position order: spos is a permutation of 0..n-1
     _, length, dist = jax.lax.sort([spos, best_l, best_d],
