@@ -182,13 +182,18 @@ def decode_stream(words, nbits, span: int, out_cap: int, max_blocks: int):
     src = jnp.clip(src, 0, total_cap - 1)
 
     # ---- resolve copy chains by pointer doubling ------------------------
-    rounds = max(1, (total_cap - 1).bit_length())
-    for _ in range(rounds):
+    def resolve(_, st):
+        known, val, src = st
         ks = known[src]
         vs = val[src]
         val = jnp.where((known == 0) & (ks > 0), vs, val)
         known = jnp.maximum(known, ks)
         src = jnp.where(known > 0, src, src[src])
+        return known, val, src
+
+    rounds = max(1, (total_cap - 1).bit_length())
+    known, val, src = jax.lax.fori_loop(0, rounds, resolve,
+                                        (known, val, src))
     nblocks = jnp.sum(ys["produced"] > 0)
     return val.astype(jnp.uint8), total, nblocks, error
 
@@ -209,12 +214,18 @@ def decode_block_standalone(words, start, span: int, out_cap: int):
     live = o < blk["produced"]
     error = blk["error"] | jnp.any(live & (known == 0) & (src < 0))
     src = jnp.clip(src, 0, out_cap - 1)
-    for _ in range(max(1, (out_cap - 1).bit_length())):
+
+    def resolve(_, st):
+        known, val, src = st
         ks = known[src]
         vs = val[src]
         val = jnp.where((known == 0) & (ks > 0), vs, val)
         known = jnp.maximum(known, ks)
         src = jnp.where(known > 0, src, src[src])
+        return known, val, src
+
+    known, val, _ = jax.lax.fori_loop(
+        0, max(1, (out_cap - 1).bit_length()), resolve, (known, val, src))
     return val.astype(jnp.uint8), blk["produced"], error
 
 

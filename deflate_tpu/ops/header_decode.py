@@ -84,10 +84,13 @@ def parse_dynamic_header(words: jax.Array, start: jax.Array):
     nxt = jnp.minimum(nxt, HSPAN)
     g = jnp.concatenate([nxt, jnp.array([HSPAN], jnp.int32)])
     mark = jnp.zeros((HSPAN + 1,), jnp.int32).at[0].set(1)
-    for _ in range(13):                             # 2^13 = 8192 > HSPAN
+
+    def round_(_, st):
+        mark, g = st
         tgt = jnp.where(mark > 0, g, HSPAN)
-        mark = mark.at[tgt].max(mark, mode="drop")
-        g = g[g]
+        return mark.at[tgt].max(mark, mode="drop"), g[g]
+
+    mark, _ = jax.lax.fori_loop(0, 13, round_, (mark, g))
     reached = mark[:HSPAN] > 0
 
     # --- phase 3: emit offsets + the stop point ---------------------------

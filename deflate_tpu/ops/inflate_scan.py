@@ -106,10 +106,14 @@ def find_chain(tok, span: int = SPAN):
 
     g = jnp.concatenate([nxt, jnp.array([span], jnp.int32)])  # sentinel slot
     mark = jnp.zeros((span + 1,), jnp.int32).at[0].set(1)
-    for _ in range(max(1, (span - 1).bit_length())):
+
+    def round_(_, st):
+        mark, g = st
         tgt = jnp.where(mark > 0, g, span)
-        mark = mark.at[tgt].max(mark, mode="drop")
-        g = g[g]
+        return mark.at[tgt].max(mark, mode="drop"), g[g]
+
+    mark, _ = jax.lax.fori_loop(0, max(1, (span - 1).bit_length()),
+                                round_, (mark, g))
     mark = mark[:span] > 0
 
     eobs = jnp.where(mark & tok["is_eob"], i, span)
@@ -152,10 +156,14 @@ def emit_block_output(tok, reached, out_len: int):
     src = jnp.where(known, o, o - dstv[ts])
     src = jnp.clip(src, 0, out_len - 1)
 
-    for _ in range(16):                                     # chains <= 32768
+    def resolve(_, st):
+        known, val, src = st
         ks = known[src]
         vs = val[src]
         val = jnp.where(~known & ks, vs, val)
         known = known | ks
         src = jnp.where(known, src, src[src])
+        return known, val, src
+
+    known, val, _ = jax.lax.fori_loop(0, 16, resolve, (known, val, src))
     return val.astype(jnp.uint8), produced
