@@ -78,6 +78,17 @@ def main():
 
     mbps = nbytes / dt / 1e6
     ratio = len(encoded) / nbytes
+
+    # secondary: native host inflate throughput on the same stream
+    from deflate_tpu import native as NAT
+
+    host_decode_mbps = None
+    if NAT.lib() is not None:
+        t0 = time.perf_counter()
+        out = NAT.inflate(encoded, nbytes)
+        ddt = time.perf_counter() - t0
+        assert out == corpus
+        host_decode_mbps = round(nbytes / ddt / 1e6, 1)
     result = {
         "metric": "encode_throughput_L2",
         "value": round(mbps, 2),
@@ -87,6 +98,7 @@ def main():
             "input_bytes": nbytes,
             "compressed_bytes": len(encoded),
             "ratio": round(ratio, 4),
+            "host_decode_mbps": host_decode_mbps,
             "device": str(jax.devices()[0].platform),
             "note": "baseline = reference level-2 ~15 MB/s 1 CPU core "
                     "(which emits CORRUPT output, SURVEY.md B1; its fastest "

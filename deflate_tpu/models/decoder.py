@@ -237,10 +237,14 @@ def inflate_device(data: bytes, out_size_hint: int | None = None) -> bytes:
     words_np, nbits = BP.bytes_to_words(data)
     words = jnp.asarray(words_np)
 
+    def _pow2(n: int) -> int:
+        return 1 << max(0, (n - 1)).bit_length()
+
     hint = out_size_hint if out_size_hint else max(4 * len(data), 1 << 16)
+    # bucket max_blocks to powers of two so varying inputs reuse compiles
     configs = [
-        (IS.SPAN, T.BLOCK_SIZE, max(8, -(-hint // T.BLOCK_SIZE) + 2)),
-        ((1 << 20) + 64, 1 << 20, max(4, -(-hint // (1 << 20)) + 2)),
+        (IS.SPAN, T.BLOCK_SIZE, _pow2(max(8, -(-hint // T.BLOCK_SIZE) + 2))),
+        ((1 << 20) + 64, 1 << 20, _pow2(max(4, -(-hint // (1 << 20)) + 2))),
     ]
     for span, out_cap, max_blocks in configs:
         out, total, _, error = decode_stream(
