@@ -306,18 +306,41 @@ def emit_block(block, blen, plan, choice, pad, bfinal):
         jnp.concatenate([hdr3, hv]), jnp.concatenate([hdr3_l, hl]), WB)
 
     # --- place token packets at hdr_bits + tok_off ----------------------
+    # pairs of positions fuse into one 4-word window before scattering:
+    # scatters cost ~9 ns/lane on v5e, so 4x[N/2] lanes beat 3x[N]
+    def spread(lo, hi, s):
+        """(lo,hi) << s within a 3-word window (s in [0,32))."""
+        s = s.astype(jnp.uint32)
+        ns = jnp.uint32(32) - jnp.maximum(s, 1)
+        c0 = lo << s
+        c1 = jnp.where(s == 0, hi, (lo >> ns) | (hi << s))
+        c2 = jnp.where(s == 0, jnp.uint32(0), hi >> ns)
+        return c0, c1, c2
+
     off = hdr_bits + tok_off
-    r = (off & 31).astype(jnp.uint32)
-    w = off >> 5
-    o0 = lo << r
-    o1 = jnp.where(r == 0, hi,
-                   (lo >> (jnp.uint32(32) - jnp.maximum(r, 1))) | (hi << r))
-    o2 = jnp.where(r == 0, jnp.uint32(0),
-                   hi >> (jnp.uint32(32) - jnp.maximum(r, 1)))
+    offP = off.reshape(-1, 2)
+    loP = lo.reshape(-1, 2)
+    hiP = hi.reshape(-1, 2)
+    shP = sh.reshape(-1, 2)
+    off0 = offP[:, 0]
+    r0 = off0 & 31
+    a0, a1, a2 = spread(loP[:, 0], hiP[:, 0], r0)
+    d = r0 + shP[:, 0]                       # second packet's window offset
+    k1 = d >> 5                              # 0..2
+    b0, b1, b2 = spread(loP[:, 1], hiP[:, 1], d & 31)
+    zero = jnp.zeros_like(b0)
+    bs = [b0, b1, b2, zero, zero]
+
+    def at(j):                               # b_{j-k1} with OOB -> 0
+        return jnp.where(k1 == 0, bs[j] if j <= 2 else zero,
+               jnp.where(k1 == 1, bs[j - 1] if 0 <= j - 1 <= 2 else zero,
+                         bs[j - 2] if 0 <= j - 2 <= 2 else zero))
+
+    W = [a0 | at(0), a1 | at(1), a2 | at(2), at(3)]
+    w0 = off0 >> 5
     words = hdr_words
-    words = words.at[w].add(o0, mode="drop")
-    words = words.at[w + 1].add(o1, mode="drop")
-    words = words.at[w + 2].add(o2, mode="drop")
+    for j in range(4):
+        words = words.at[w0 + j].add(W[j], mode="drop")
 
     # --- end-of-block code ----------------------------------------------
     eob_off = hdr_bits + tok_bits
