@@ -109,7 +109,8 @@ def decompress(data, out_size: int | None = None,
 
     raw = bytes(data)
     try:
-        out = _nat.inflate(raw, out_size or max(1024, 8 * len(raw)))
+        out = _nat.inflate(raw, out_size or max(1024, 8 * len(raw)),
+                           exact=out_size is not None)
     except ValueError as e:
         raise InflateError(str(e)) from None
     if out is not None:
@@ -160,34 +161,83 @@ def compress_gzip(data, level: int = 2) -> bytes:
             + isize.to_bytes(4, "little"))
 
 
-def decompress_gzip(data) -> bytes:
-    """Decompress one gzip (RFC 1952) member, verifying CRC-32 and ISIZE."""
+def _gzip_member_payload_offset(buf: bytes, ofs: int) -> int:
+    """Parse one gzip member header at `ofs`; return the payload offset.
+
+    Verifies FHCRC (CRC-16 of the header) when present — the RFC 1952
+    check the reference has no analog for.  Raises InflateError on any
+    malformed header (truncated optional fields included).
+    """
     import zlib as _z
 
+    try:
+        if buf[ofs] != 0x1F or buf[ofs + 1] != 0x8B:
+            raise InflateError("not a gzip stream")
+        if buf[ofs + 2] != 8:
+            raise InflateError("unsupported gzip compression method")
+        flg = buf[ofs + 3]
+        if flg & 0xE0:
+            raise InflateError("reserved gzip FLG bits set")
+        p = ofs + 10
+        if flg & 0x04:                               # FEXTRA
+            xlen = int.from_bytes(buf[p:p + 2], "little")
+            p += 2 + xlen
+            if p > len(buf):
+                raise InflateError("gzip FEXTRA truncated")
+        if flg & 0x08:                               # FNAME
+            p = buf.index(0, p) + 1
+        if flg & 0x10:                               # FCOMMENT
+            p = buf.index(0, p) + 1
+        if flg & 0x02:                               # FHCRC
+            stored = int.from_bytes(buf[p:p + 2], "little")
+            if _z.crc32(buf[ofs:p]) & 0xFFFF != stored:
+                raise InflateError("gzip header crc16 mismatch")
+            p += 2
+        if p + 8 > len(buf):                         # payload + trailer room
+            raise InflateError("gzip member truncated")
+        return p
+    except (IndexError, ValueError) as e:
+        if isinstance(e, InflateError):
+            raise
+        raise InflateError("malformed gzip header") from None
+
+
+def decompress_gzip(data) -> bytes:
+    """Decompress a gzip (RFC 1952) file: one or more concatenated members
+    (RFC 1952 §2.2 — `gzip -c a b > ab.gz` style), verifying each member's
+    CRC-32, ISIZE, and (when present) header CRC-16."""
+    import zlib as _z
+
+    from deflate_tpu import native as _nat
+
     buf = bytes(data)
-    if len(buf) < 18 or buf[0] != 0x1F or buf[1] != 0x8B:
+    if len(buf) < 18:
         raise InflateError("not a gzip stream")
-    if buf[2] != 8:
-        raise InflateError("unsupported gzip compression method")
-    flg = buf[3]
-    ofs = 10
-    if flg & 0x04:                                   # FEXTRA
-        xlen = int.from_bytes(buf[ofs:ofs + 2], "little")
-        ofs += 2 + xlen
-    if flg & 0x08:                                   # FNAME
-        ofs = buf.index(0, ofs) + 1
-    if flg & 0x10:                                   # FCOMMENT
-        ofs = buf.index(0, ofs) + 1
-    if flg & 0x02:                                   # FHCRC
-        ofs += 2
-    out = decompress(buf[ofs:len(buf) - 8])
-    crc = int.from_bytes(buf[-8:-4], "little")
-    isize = int.from_bytes(buf[-4:], "little")
-    if _z.crc32(out) & 0xFFFFFFFF != crc:
-        raise InflateError("gzip crc32 mismatch")
-    if len(out) & 0xFFFFFFFF != isize:
-        raise InflateError("gzip isize mismatch")
-    return out
+    parts = []
+    ofs = 0
+    while ofs < len(buf):
+        p = _gzip_member_payload_offset(buf, ofs)
+        payload = buf[p:]
+        try:
+            res = _nat.inflate_consumed(payload, max(1024, 8 * len(payload)))
+        except ValueError as e:
+            raise InflateError(str(e)) from None
+        if res is None:
+            out, consumed = _hi.inflate_raw_consumed(payload)
+        else:
+            out, consumed = res
+        t = p + consumed
+        if t + 8 > len(buf):
+            raise InflateError("gzip trailer truncated")
+        crc = int.from_bytes(buf[t:t + 4], "little")
+        isize = int.from_bytes(buf[t + 4:t + 8], "little")
+        if _z.crc32(out) & 0xFFFFFFFF != crc:
+            raise InflateError("gzip crc32 mismatch")
+        if len(out) & 0xFFFFFFFF != isize:
+            raise InflateError("gzip isize mismatch")
+        parts.append(out)
+        ofs = t + 8
+    return b"".join(parts)
 
 
 def compress_many(buffers, level: int = 2) -> list:

@@ -149,7 +149,12 @@ def decode_stream(words, nbits, span: int, out_cap: int, max_blocks: int):
     def step(carry, _):
         pos, base, done, err = carry
         blk = decode_block(words, pos, span, out_cap, nbits)
-        this_err = ~done & (blk["error"] | (pos >= nbits))
+        # next_start > nbits means the block body ran past the end of the
+        # input: peek_bits zero-fill would otherwise decode garbage silently
+        # (fixed-Huffman all-zero 7-bit code is EOB), so surface it as an
+        # error even when the speculative chain terminated "cleanly".
+        this_err = ~done & (blk["error"] | (pos >= nbits)
+                            | (blk["next_start"] > nbits))
         produced = jnp.where(done | this_err, 0, blk["produced"])
         ys = {"lit_flag": blk["lit_flag"], "lit_val": blk["lit_val"],
               "rel_src": blk["rel_src"], "base": base, "produced": produced}

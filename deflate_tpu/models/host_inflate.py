@@ -131,6 +131,17 @@ def _read_dynamic_tables(br: _BitReader):
     return _Canon(lens[:hlit]), _Canon(lens[hlit:])
 
 
+def inflate_raw_consumed(data: bytes, max_out: int | None = None):
+    """Decode one raw DEFLATE stream; return (bytes, input bytes consumed).
+
+    A partially-read final byte counts as consumed — the returned offset is
+    where a container trailer or the next concatenated member begins.
+    """
+    br = _BitReader(data)
+    out = _inflate_loop(br, max_out, single_block=False)
+    return out, (br.pos + 7) >> 3
+
+
 def inflate_raw(data: bytes, max_out: int | None = None,
                 start_bit: int = 0, single_block: bool = False) -> bytes:
     """Decode a raw DEFLATE stream to bytes.
@@ -141,6 +152,12 @@ def inflate_raw(data: bytes, max_out: int | None = None,
     """
     br = _BitReader(data)
     br.pos = start_bit
+    return _inflate_loop(br, max_out, single_block)
+
+
+def _inflate_loop(br: _BitReader, max_out: int | None,
+                  single_block: bool) -> bytes:
+    data = br.data
     out = bytearray()
     while True:
         bfinal = br.read(1)

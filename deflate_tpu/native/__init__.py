@@ -41,7 +41,9 @@ def lib():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO) and not _build():
+    # always run make: it is a no-op when fresh and rebuilds the .so when
+    # the C++ sources are newer (ABI additions would otherwise load stale)
+    if not _build() and not os.path.exists(_SO):
         return None
     try:
         L = ctypes.CDLL(_SO)
@@ -50,6 +52,11 @@ def lib():
             ctypes.c_char_p, ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_size_t)]
+        L.dt_inflate2.restype = ctypes.c_int
+        L.dt_inflate2.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ctypes.c_size_t)]
         L.dt_deflate.restype = ctypes.c_int
         L.dt_deflate.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
@@ -68,11 +75,19 @@ def lib():
     return _lib
 
 
-def inflate(data: bytes, out_cap: int):
-    """Native inflate; returns bytes or raises ValueError. None if no lib."""
+def inflate(data: bytes, out_cap: int, exact: bool = False):
+    """Native inflate; returns bytes or raises ValueError. None if no lib.
+
+    exact=True treats out_cap as a hard cap (caller declared the output
+    size): capacity overflow is an error, matching the Python fallback's
+    "output exceeds declared size".  exact=False treats it as a hint and
+    grows geometrically, bounded at 1 GiB (a conforming DEFLATE stream
+    cannot exceed 1032x expansion, so len(data)*1032 also bounds it).
+    """
     L = lib()
     if L is None:
         return None
+    limit = min(1 << 30, max(out_cap, 1040 * max(1, len(data)) + 64))
     while True:
         out = (ctypes.c_uint8 * out_cap)()
         out_len = ctypes.c_size_t(0)
@@ -80,8 +95,32 @@ def inflate(data: bytes, out_cap: int):
                           ctypes.byref(out_len))
         if rc == DT_OK:
             return bytes(bytearray(out)[:out_len.value])
-        if rc == -2 and out_cap < (1 << 34):
-            out_cap *= 4
+        if rc == -2 and not exact and out_cap < limit:
+            out_cap = min(out_cap * 4, limit)
+            continue
+        raise ValueError(f"inflate: {DT_ERRORS.get(rc, rc)}")
+
+
+def inflate_consumed(data: bytes, out_cap: int):
+    """Native inflate returning (bytes, input_bytes_consumed).
+
+    Used by container parsers (multi-member gzip) that must locate the
+    trailer / next member after the DEFLATE payload.  None if no lib.
+    """
+    L = lib()
+    if L is None:
+        return None
+    limit = min(1 << 30, max(out_cap, 1040 * max(1, len(data)) + 64))
+    while True:
+        out = (ctypes.c_uint8 * out_cap)()
+        out_len = ctypes.c_size_t(0)
+        consumed = ctypes.c_size_t(0)
+        rc = L.dt_inflate2(data, len(data), out, out_cap,
+                           ctypes.byref(out_len), ctypes.byref(consumed))
+        if rc == DT_OK:
+            return bytes(bytearray(out)[:out_len.value]), consumed.value
+        if rc == -2 and out_cap < limit:
+            out_cap = min(out_cap * 4, limit)
             continue
         raise ValueError(f"inflate: {DT_ERRORS.get(rc, rc)}")
 

@@ -480,11 +480,8 @@ int dt_deflate(const uint8_t* in, size_t in_len, int level, uint8_t* out,
     bw.put(lc[256], ll[256]);  // end of block
     off += size_t(n);
   } while (off < in_len);
-
-  if (in_len == 0) {  // empty input: single empty stored block
-    bw.put(1, 1); bw.put(0, 2); bw.align();
-    bw.put(0, 16); bw.put(0xFFFF, 16);
-  }
+  // (empty input needs no special case: the do-while body runs once with
+  // n == 0 and emits a single empty BFINAL block)
   *out_len = bw.finish();
   return bw.overflow ? -2 : 0;
 }

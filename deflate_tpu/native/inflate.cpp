@@ -170,7 +170,11 @@ struct Tables {
   Entry dist[kTableSize];
 };
 
-// decode one symbol; returns -1 on error
+// decode one symbol; returns -1 on error (bad code OR truncated input).
+// Missing bits peek as zeros, but the replicated-root/subtable layout means
+// the selected entry is determined by the low `len` bits only — so checking
+// br.n >= consumed-bits before dropping rejects any symbol that would have
+// used phantom zero bits (truncated streams error instead of zero-filling).
 inline int decode_sym(BitReader& br, const Entry* tbl) {
   br.refill();
   Entry e = tbl[br.peek(kRootBits)];
@@ -179,10 +183,12 @@ inline int decode_sym(BitReader& br, const Entry* tbl) {
     int root = kRootBits;
     e = tbl[e.sym + idx];
     if (!e.len) return -1;
+    if (br.n < root + e.len) return -1;
     br.drop(root + e.len);
     return e.sym;
   }
   if (!e.len) return -1;
+  if (br.n < e.len) return -1;
   br.drop(e.len);
   return e.sym;
 }
@@ -273,8 +279,8 @@ uint32_t dt_adler32(const uint8_t* p, size_t n) {
   return (s2 << 16) | s1;
 }
 
-int dt_inflate(const uint8_t* in, size_t in_len, uint8_t* out, size_t out_cap,
-               size_t* out_len) {
+int dt_inflate2(const uint8_t* in, size_t in_len, uint8_t* out,
+                size_t out_cap, size_t* out_len, size_t* in_consumed) {
   BitReader br{in, in + in_len};
   size_t op = 0;
   static thread_local Tables tbl;
@@ -329,12 +335,12 @@ int dt_inflate(const uint8_t* in, size_t in_len, uint8_t* out, size_t out_cap,
         } else {
           if (s > 285) return DT_E_CODE;
           int li = s - 257;
-          br.refill();
+          if (!br.have(kLenExtra[li])) return DT_E_INPUT;
           uint32_t length = kLenBase[li] + br.peek(kLenExtra[li]);
           br.drop(kLenExtra[li]);
           int d = decode_sym(br, tbl.dist);
           if (d < 0 || d > 29) return DT_E_CODE;
-          br.refill();
+          if (!br.have(kDistExtra[d])) return DT_E_INPUT;
           uint32_t dist = kDistBase[d] + br.peek(kDistExtra[d]);
           br.drop(kDistExtra[d]);
           if (dist > op) return DT_E_DIST;
@@ -352,9 +358,17 @@ int dt_inflate(const uint8_t* in, size_t in_len, uint8_t* out, size_t out_cap,
     }
     if (bfinal) {
       *out_len = op;
+      // bytes consumed, counting a partially-read final byte as consumed
+      // (the position where e.g. a gzip trailer or next member begins)
+      if (in_consumed) *in_consumed = br.bytes_consumed(in);
       return DT_OK;
     }
   }
+}
+
+int dt_inflate(const uint8_t* in, size_t in_len, uint8_t* out, size_t out_cap,
+               size_t* out_len) {
+  return dt_inflate2(in, in_len, out, out_cap, out_len, nullptr);
 }
 
 // Bit-level concatenation of segments into a contiguous stream.
