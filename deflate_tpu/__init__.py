@@ -103,8 +103,18 @@ def decompress(data, out_size: int | None = None,
     """
     if device:
         from deflate_tpu.models import decoder as _dd
+        from deflate_tpu.models import pallas_decoder as _pd
 
-        return _dd.inflate_device(bytes(data), out_size)
+        raw = bytes(data)
+        if _pd.available():
+            try:
+                # Pallas scalar-core kernel: fastest device path; handles
+                # any stream whose blocks are self-contained (always true
+                # for this package's encoder output, quirk Q5)
+                return _pd.inflate_stream(raw)
+            except _pd.PallasDecodeError:
+                pass
+        return _dd.inflate_device(raw, out_size)
     from deflate_tpu import native as _nat
 
     raw = bytes(data)

@@ -70,15 +70,46 @@ STATICS_W = 2048          # DMA'd fixed-table+const payload (1024-aligned)
 TABS_W = FIX_BASE + STATICS_W
 
 # const layout inside the statics tail
-C_LEN_BASE, C_LEN_EXTRA, C_DIST_BASE, C_DIST_EXTRA, C_CL_ORDER = (
-    0, 32, 64, 96, 128)
+C_CL_ORDER = 0            # 19 words: CL permutation
+C_LITPAY = 32             # 288 words: per-symbol litlen payloads
+C_DISTPAY = 320           # 32 words: per-symbol dist payloads
 
 # chain modes
 M_DONE, M_HUFF, M_COPY, M_STORED = 0, 1, 2, 3
 
-# table entry: (nbits << 18) | (kind << 16) | val
-K_SYM, K_LINK, K_BAD = 0, 1, 2
-INVALID = K_BAD << 16
+# ---- table entry format v2 (optimized for a short decode chain) ----------
+# link entries are NEGATIVE: sign | (sub_bits << 16) | sub_table_index
+# symbol entries are non-negative:  payload | nbits
+#   litlen payload: [4:0]=nbits  [7:5]=len extra bits  [16:8]=base
+#                   [18:17]=class (0 literal/CL, 1 length, 2 EOB, 3 bad)
+#   dist payload:   [4:0]=nbits  [8:5]=dist extra bits [23:9]=base
+#                   (invalid dist symbols get extra-bits sentinel 15)
+CLS_LIT, CLS_LEN, CLS_EOB, CLS_BAD = 0, 1, 2, 3
+INVALID = CLS_BAD << 17
+D_INVALID = 15 << 5
+
+
+def _litlen_payload(sym):
+    if sym < 256:
+        return (CLS_LIT << 17) | (sym << 8)
+    if sym == 256:
+        return CLS_EOB << 17
+    if sym <= 285:
+        li = sym - 257
+        return ((CLS_LEN << 17) | (int(T.LENGTH_BASE[li]) << 8)
+                | (int(T.LENGTH_EXTRA[li]) << 5))
+    return CLS_BAD << 17
+
+
+def _dist_payload(sym):
+    if sym <= 29:
+        return (int(T.DIST_BASE[sym]) << 9) | (int(T.DIST_EXTRA[sym]) << 5)
+    return D_INVALID
+
+
+def _cl_payload(sym):
+    return sym << 8                       # raw value in the base field
+
 
 MAX_ACTIONS = 65536       # worst case: len-3/dist-1 matches = 4 actions/3 B
 STATE_W = 16              # per-chain spill slots
@@ -86,7 +117,8 @@ _NOCOPY = bool(int(os.environ.get("PI_NOCOPY", "0")))  # perf bisect only
 
 
 # ===================== host-side table construction =======================
-def build_table_host(lens, root, cap):
+def build_table_host(lens, root, cap, payload=_cl_payload,
+                     fill=INVALID):
     """NumPy mirror of the in-kernel zlib-style table builder (for the
     fixed-code statics and for differential tests of the kernel builder).
 
@@ -97,7 +129,7 @@ def build_table_host(lens, root, cap):
     for l in lens:
         cnt[l] += 1
     npresent = n - cnt[0]
-    tab = np.full(cap, INVALID, np.int32)
+    tab = np.full(cap, fill, np.int32)
     if npresent == 0:
         return tab, False
     maxlen = max(l for l in lens if l > 0) if npresent else 0
@@ -123,7 +155,7 @@ def build_table_host(lens, root, cap):
         sym = int(work[si])
         l = int(lens[sym])
         if l <= root:
-            entry = (l << 18) | (K_SYM << 16) | sym
+            entry = payload(sym) | l
             for hi in range(1 << (root - l)):
                 tab[huff + (hi << l)] = entry
         else:
@@ -139,10 +171,10 @@ def build_table_host(lens, root, cap):
                     left2 <<= 1
                 if next_sub + (1 << curr) > cap:
                     return tab, True
-                tab[low] = (curr << 18) | (K_LINK << 16) | next_sub
+                tab[low] = -(1 << 31) | (curr << 16) | next_sub
                 cur_low, cur_off, cur_bits = low, next_sub, curr
                 next_sub += 1 << curr
-            entry = ((l - root) << 18) | (K_SYM << 16) | sym
+            entry = payload(sym) | (l - root)
             idx0 = huff >> root
             for hi in range(1 << (cur_bits - (l - root))):
                 tab[cur_off + idx0 + (hi << (l - root))] = entry
@@ -158,18 +190,18 @@ def make_statics():
     """Fixed-code tables + RFC constant arrays, DMA'd into SMEM slot K."""
     out = np.zeros(STATICS_W, np.int32)
     lit, e1 = build_table_host(np.asarray(T.FIXED_LITLEN_LENGTHS),
-                               LT_ROOT, LT_SIZE)
+                               LT_ROOT, LT_SIZE, _litlen_payload)
     dst, e2 = build_table_host(np.asarray(T.FIXED_DIST_LENGTHS[:30]),
-                               DT_ROOT, DT_SIZE)
+                               DT_ROOT, DT_SIZE, _dist_payload, D_INVALID)
     assert not (e1 or e2)
     out[:LT_SIZE] = lit
     out[LT_SIZE:TAB_SLOT] = dst
     c = TAB_SLOT
-    out[c + C_LEN_BASE:c + C_LEN_BASE + 29] = np.asarray(T.LENGTH_BASE)
-    out[c + C_LEN_EXTRA:c + C_LEN_EXTRA + 29] = np.asarray(T.LENGTH_EXTRA)
-    out[c + C_DIST_BASE:c + C_DIST_BASE + 30] = np.asarray(T.DIST_BASE)
-    out[c + C_DIST_EXTRA:c + C_DIST_EXTRA + 30] = np.asarray(T.DIST_EXTRA)
     out[c + C_CL_ORDER:c + C_CL_ORDER + 19] = np.asarray(T.CL_ORDER)
+    out[c + C_LITPAY:c + C_LITPAY + 286] = np.asarray(
+        [_litlen_payload(s) for s in range(286)], np.int64).astype(np.int32)
+    out[c + C_DISTPAY:c + C_DISTPAY + 30] = np.asarray(
+        [_dist_payload(s) for s in range(30)], np.int64).astype(np.int32)
     return out
 
 
@@ -213,7 +245,7 @@ def _kernel(starts_ref, bit0_ref, avail_ref,          # scalar prefetch
 
     # ---- in-kernel zlib-style canonical table build ----------------------
     def build_table(j, lens_base, nsyms, root, tab, tab_base, tab_cap,
-                    is_cl):
+                    is_cl, pay_base=None, fill=INVALID):
         """Returns err (i32 0/1). Reads lens[lens_base:+nsyms], writes
         tab[tab_base:+tab_cap]. j indexes the per-chain count scratch.
         Incomplete codes: always an error for the CL table; for litlen/
@@ -251,7 +283,7 @@ def _kernel(starts_ref, bit0_ref, avail_ref,          # scalar prefetch
 
         def fill_inv8(t, _):
             for u in range(8):
-                tab[tab_base + 8 * t + u] = i32(INVALID)
+                tab[tab_base + 8 * t + u] = i32(fill)
             return 0
         # all table caps (896/704/128) are multiples of 8
         jax.lax.fori_loop(0, srl(tab_cap, 3), fill_inv8, 0)
@@ -274,10 +306,11 @@ def _kernel(starts_ref, bit0_ref, avail_ref,          # scalar prefetch
             huff, cur_low, cur_off, cur_bits, next_sub, err = c
             sym = work[wb + si]
             l = lens[lens_base + sym]
+            pay = (sym << 8) if pay_base is None else tabs[pay_base + sym]
 
             def short_case(c):
                 huff, cur_low, cur_off, cur_bits, next_sub, err = c
-                entry = (l << 18) | (K_SYM << 16) | sym
+                entry = pay | l
 
                 def f(hi, _):
                     tab[tab_base + huff + (hi << l)] = entry
@@ -306,14 +339,14 @@ def _kernel(starts_ref, bit0_ref, avail_ref,          # scalar prefetch
                                   > tab_cap).astype(i32)
                     safe = jnp.where(err2 > 0, i32(0), next_sub)
                     tab[tab_base + low] = jnp.where(
-                        err2 > 0, i32(INVALID),
-                        (curr << 18) | (K_LINK << 16) | next_sub)
+                        err2 > 0, i32(fill),
+                        (curr << 16) | next_sub | i32(-2147483648))
                     return low, safe, curr, next_sub + (i32(1) << curr), err2
                 cur_low, cur_off, cur_bits, next_sub, err = jax.lax.cond(
                     low != cur_low, new_sub,
                     lambda c: c,
                     (cur_low, cur_off, cur_bits, next_sub, err))
-                entry = ((l - root) << 18) | (K_SYM << 16) | sym
+                entry = pay | (l - root)
                 idx0 = srl(huff, root)
 
                 def f(hi, _):
@@ -404,7 +437,8 @@ def _kernel(starts_ref, bit0_ref, avail_ref,          # scalar prefetch
                 return bp + 3
             bitpos = jax.lax.fori_loop(0, ncl, rdcl, bitpos)
             err = err | build_table(j, jl, i32(19), i32(7), cl_tab,
-                                    j * CL_SIZE, i32(CL_SIZE), i32(1))
+                                    j * CL_SIZE, i32(CL_SIZE), i32(1),
+                                    pay_base=None)
 
             ntot = nlit + ndist
 
@@ -412,10 +446,10 @@ def _kernel(starts_ref, bit0_ref, avail_ref,          # scalar prefetch
                 i, bp, err = c
                 pk = peek32(ib, bp) & 127
                 e = cl_tab[j * CL_SIZE + pk]
-                nb = srl(e, 18)
-                kind = srl(e, 16) & 3
-                sym = e & 0xFFFF
-                err = err | (kind != K_SYM).astype(i32)
+                nb = e & 31
+                sym = srl(e, 8) & 0x1FF
+                err = err | ((srl(e, 17) & 3) != 0).astype(i32) | \
+                    (e < 0).astype(i32)
                 bp = bp + nb
 
                 def lit_len(c):
@@ -464,10 +498,13 @@ def _kernel(starts_ref, bit0_ref, avail_ref,          # scalar prefetch
             # end-of-block code must exist (zlib rule)
             err = err | (lens[jl + 256] == 0).astype(i32)
             err = err | build_table(j, jl, nlit, i32(LT_ROOT), tabs,
-                                    j * TAB_SLOT, i32(LT_SIZE), i32(0))
+                                    j * TAB_SLOT, i32(LT_SIZE), i32(0),
+                                    pay_base=CB + C_LITPAY)
             err = err | build_table(j, jl + nlit, ndist, i32(DT_ROOT),
                                     tabs, j * TAB_SLOT + LT_SIZE,
-                                    i32(DT_SIZE), i32(0))
+                                    i32(DT_SIZE), i32(0),
+                                    pay_base=CB + C_DISTPAY,
+                                    fill=D_INVALID)
             mode = jnp.where(err > 0, i32(M_DONE), i32(M_HUFF))
             return (mode, bitpos, i32(0), i32(0),
                     j * TAB_SLOT, i32(j * TAB_SLOT + LT_SIZE), err)
@@ -598,62 +635,67 @@ def _kernel(starts_ref, bit0_ref, avail_ref,          # scalar prefetch
             """One fully branch-free iteration: either decode one symbol
             (writing its first <=8 output bytes) or continue a pending
             long copy by <=8 bytes — selected arithmetically via crem.
-            No lax.cond anywhere: a cond per chain splits the loop body
-            into serially-ordered regions and forbids Mosaic from
-            software-pipelining the K chains (measured: cond-free bodies
-            run ~5-11 ns/step/chain, any per-chain cond ~135 ns)."""
+            Optimized for body latency: entry format v2 packs class/base/
+            extra-bits into the table entries (no side lookups), a single
+            3-word funnel (peek48) feeds both the litlen and dist probes,
+            and the dist<4 pattern words derive from one funnel read.
+            Stores with data-dependent operands forbid cross-iteration
+            software pipelining (measured, mb_sym.py), so per-symbol cost
+            ~= this body's critical path; keep it short."""
             bitpos, opos, live, avail, tbase, crem, cdist = S
             act = live > 0
             copying = crem > 0
             decoding = act & ~copying
 
-            # ---- speculative symbol decode (junk while copying) ----
-            pk = peek32(ib, bitpos)
+            # ---- peek48: bits [bitpos, bitpos+64-sh) from 3 words ----
+            w = srl(bitpos, 5)
+            sh = bitpos & 31
+            a = inw[ib + w]
+            b = inw[ib + w + 1]
+            c = inw[ib + w + 2]
+            nsh = 32 - sh
+            pk = jnp.where(sh == 0, a, srl(a, sh) | (b << nsh))
+            pkh = jnp.where(sh == 0, b, srl(b, sh) | (c << nsh))
+
+            # ---- litlen probe (unconditional two-level) ----
             e = tabs[tbase + (pk & LT_MASK)]
-            nb = srl(e, 18)
-            kind = srl(e, 16) & 3
-            val = e & 0xFFFF
-            # unconditional sub-table probe + select (for K_SYM entries
-            # val<=287 and the junk index <=511, total < LT_SIZE=896)
-            e2 = tabs[tbase + val
-                      + (srl(pk, LT_ROOT) & ((i32(1) << nb) - 1))]
-            islink = kind == K_LINK
-            nb = jnp.where(islink, LT_ROOT + srl(e2, 18), nb)
-            kind = jnp.where(islink, srl(e2, 16) & 3, kind)
-            val = jnp.where(islink, e2 & 0xFFFF, val)
-            bad = (kind != K_SYM) | (val > 285)
-            is_lit = val < 256
-            is_eob = val == 256
-            is_m = val > 256
-            li = jnp.clip(val - 257, 0, 28)
-            eb = jnp.where(is_m, tabs[CB + C_LEN_EXTRA + li], i32(0))
+            sb_l = jnp.minimum(srl(e, 16) & 31, i32(6))
+            e2 = tabs[tbase + (e & 0x3FF)
+                      + (srl(pk, LT_ROOT) & ((i32(1) << sb_l) - 1))]
+            islink = e < 0
+            e = jnp.where(islink, e2, e)
+            nb = (e & 31) + jnp.where(islink, i32(LT_ROOT), i32(0))
+            cls = srl(e, 17) & 3
+            base = srl(e, 8) & 0x1FF
+            eb = srl(e, 5) & 7
+            bad = (e < 0) | (cls == CLS_BAD)
+            is_lit = cls == CLS_LIT
+            is_eob = cls == CLS_EOB
+            is_m = cls == CLS_LEN
             length = jnp.where(
-                is_m,
-                tabs[CB + C_LEN_BASE + li]
-                + (srl(pk, nb) & ((i32(1) << eb) - 1)),
-                i32(1))
-            bp2 = bitpos + nb + eb
-            pk2 = peek32(ib, bp2)
+                is_m, base + (srl(pk, nb) & ((i32(1) << eb) - 1)), i32(1))
+
+            # ---- dist probe from the same peek window ----
+            # clamp keeps both shift amounts in [1,31] even for garbage
+            # entries (which are flagged bad); valid k is 1..22
+            k = jnp.clip(nb + eb, i32(1), i32(24))
+            pk2 = srl(pk, k) | (pkh << (32 - k))
             de = tabs[tbase + LT_SIZE + (pk2 & DT_MASK)]
-            dnb = srl(de, 18)
-            dkind = srl(de, 16) & 3
-            dval = de & 0xFFFF
-            de2 = tabs[tbase + LT_SIZE + dval
-                       + (srl(pk2, DT_ROOT) & ((i32(1) << dnb) - 1))]
-            dlink = dkind == K_LINK
-            dnb = jnp.where(dlink, DT_ROOT + srl(de2, 18), dnb)
-            dkind = jnp.where(dlink, srl(de2, 16) & 3, dkind)
-            dval = jnp.where(dlink, de2 & 0xFFFF, dval)
-            bad = bad | (is_m & ((dkind != K_SYM) | (dval > 29)))
-            dvs = jnp.minimum(dval, i32(29))
-            deb = tabs[CB + C_DIST_EXTRA + dvs]
+            sb_d = jnp.minimum(srl(de, 16) & 31, i32(9))
+            de2 = tabs[tbase + LT_SIZE + (de & 0x3FF)
+                       + (srl(pk2, DT_ROOT) & ((i32(1) << sb_d) - 1))]
+            dlink = de < 0
+            de = jnp.where(dlink, de2, de)
+            dnb = (de & 31) + jnp.where(dlink, i32(DT_ROOT), i32(0))
+            deb = srl(de, 5) & 15
             dist = jnp.where(
                 is_m,
-                tabs[CB + C_DIST_BASE + dvs]
+                (srl(de, 9) & 0x7FFF)
                 + (srl(pk2, dnb) & ((i32(1) << deb) - 1)),
                 i32(1))
-            bp3 = bp2 + jnp.where(is_m, dnb + deb, i32(0))
-            bad = bad | (is_m & (dist > opos)) | (bp3 > avail)
+            bp3 = bitpos + k + jnp.where(is_m, dnb + deb, i32(0))
+            bad = bad | (is_m & ((de < 0) | (deb == 15) | (dist > opos)))
+            bad = bad | (bp3 > avail)
             bad = bad | (~is_eob & (opos + length > OUT_BYTES))
             bad = decoding & bad
             ok = decoding & ~bad
@@ -669,16 +711,19 @@ def _kernel(starts_ref, bit0_ref, avail_ref,          # scalar prefetch
             m1 = jnp.where(eff_len <= 4, i32(0),
                            jnp.where(eff_len >= 8, i32(-1),
                                      (i32(1) << (8 * (eff_len - 4))) - 1))
-            src = opos - eff_dist
-            pb = jnp.maximum(src, i32(0))
-            b0 = rd_byte(pb)
-            b1 = rd_byte(pb + jnp.where(eff_dist == 1, 0, 1))
-            b2 = rd_byte(pb + jnp.where(eff_dist == 3, 2, 0))
-            b3 = rd_byte(pb + jnp.where(eff_dist == 2, 1, 0))
-            patw = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+            # source word: funnel read at opos-dist; dist<4 patterns
+            # derive from its low bytes (bytes opos-dist..)
+            pb = jnp.maximum(opos - eff_dist, i32(0))
+            wsrc = funnel_out(pb)
+            bb = wsrc & 0xFF
+            rep1 = bb | (bb << 8) | (bb << 16) | (bb << 24)
+            hh = wsrc & 0xFFFF
+            patw = jnp.where(eff_dist == 1, rep1,
+                             jnp.where(eff_dist == 2, hh | (hh << 16),
+                                       (wsrc & 0xFFFFFF) | (bb << 24)))
             use_lit = decoding & is_lit
-            w0 = jnp.where(use_lit, val,
-                           jnp.where(eff_dist < 4, patw, funnel_out(pb)))
+            w0 = jnp.where(use_lit, base,
+                           jnp.where(eff_dist < 4, patw, wsrc))
             p0 = jnp.minimum(opos, i32(OUT_BYTES - 1))
             wr_group(p0, w0, m0 & gate)
             # second group: funnel read AFTER the first store (correct for
@@ -808,7 +853,7 @@ def inflate_blocks(stream: bytes, bit_offsets, nbits: int | None = None,
     start_tiles = (start_w // 1024).astype(np.int32)
     bit0 = (offs - 32 * start_w.astype(np.int64)).astype(np.int32)
     avail = np.minimum(nbits - 32 * start_w.astype(np.int64),
-                       (IN_W - 2) * 32).astype(np.int32)
+                       (IN_W - 3) * 32).astype(np.int32)
 
     pad = (-len(stream)) % 4
     words = np.frombuffer(stream + b"\x00" * pad, np.uint8).view(np.int32)

@@ -91,6 +91,29 @@ def compress_with_manifest(data, level: int = 2):
     return stream, man
 
 
+def decode_all(stream: bytes, man: Manifest, device: bool = False,
+               interpret: bool = False) -> bytes:
+    """Decode an entire manifest-indexed stream.
+
+    device=True batches every block through the Pallas inflate kernel in
+    one launch (models/pallas_decoder.py) — the throughput decode path —
+    with transparent host fallback on kernel-flagged blocks."""
+    if device:
+        from deflate_tpu.models import pallas_decoder as PD
+
+        try:
+            return PD.inflate_manifest(stream, man.blocks,
+                                       interpret=interpret)
+        except PD.PallasDecodeError:
+            pass
+    from deflate_tpu.models import host_inflate as HI
+
+    out = bytearray()
+    for bit_off, _, _ in man.blocks:
+        out += HI.inflate_raw(stream, start_bit=bit_off, single_block=True)
+    return bytes(out)
+
+
 def decode_range(stream: bytes, man: Manifest, start: int, end: int) -> bytes:
     """Random-access decode of output bytes [start, end) without touching
     the rest of the stream — possible because blocks are independent (Q5)."""

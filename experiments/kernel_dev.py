@@ -34,21 +34,42 @@ class BitRd:
 
 
 def probe(tab, root, br):
-    # peek up to 15 bits without consuming (pad with zeros at end)
+    """v2-entry probe: returns the raw resolved entry, consuming its
+    bits. Asserts on link-to-link/invalid."""
     save = br.pos
     avail = len(br.b) * 8 - save
     pk = 0
     for i in range(min(15, avail)):
         pk |= ((br.b[(save + i) >> 3] >> ((save + i) & 7)) & 1) << i
-    br.pos = save
     e = int(tab[pk & ((1 << root) - 1)])
-    nb, kind, val = e >> 18, (e >> 16) & 3, e & 0xFFFF
-    if kind == PI.K_LINK:
-        e2 = int(tab[val + ((pk >> root) & ((1 << nb) - 1))])
-        nb, kind, val = root + (e2 >> 18), (e2 >> 16) & 3, e2 & 0xFFFF
-    assert kind == PI.K_SYM, f"bad entry kind={kind} pk={pk:x}"
-    br.pos += nb
-    return val
+    if e < 0:
+        sb = (e >> 16) & 31
+        e = int(tab[(e & 0x3FF) + ((pk >> root) & ((1 << sb) - 1))])
+        assert e >= 0, "link-to-link"
+        br.pos = save + root + (e & 31)
+    else:
+        br.pos = save + (e & 31)
+    return e
+
+
+def probe_litlen(tab, br):
+    e = probe(tab, PI.LT_ROOT, br)
+    cls = (e >> 17) & 3
+    base = (e >> 8) & 0x1FF
+    eb = (e >> 5) & 7
+    assert cls != PI.CLS_BAD
+    if cls == PI.CLS_EOB:
+        return 256, 0
+    if cls == PI.CLS_LIT:
+        return base, 0
+    return 257, base + br.rd(eb)      # any length symbol; value=length
+
+
+def probe_dist(tab, br):
+    e = probe(tab, PI.DT_ROOT, br)
+    deb = (e >> 5) & 15
+    assert deb != 15, "invalid dist symbol"
+    return ((e >> 9) & 0x7FFF) + br.rd(deb)
 
 
 def host_decode(stream):
@@ -71,10 +92,10 @@ def host_decode(stream):
             if btype == 1:
                 lt, e1 = PI.build_table_host(
                     np.asarray(T.FIXED_LITLEN_LENGTHS), PI.LT_ROOT,
-                    PI.LT_SIZE)
+                    PI.LT_SIZE, PI._litlen_payload)
                 dt, e2 = PI.build_table_host(
                     np.asarray(T.FIXED_DIST_LENGTHS[:30]), PI.DT_ROOT,
-                    PI.DT_SIZE)
+                    PI.DT_SIZE, PI._dist_payload, PI.D_INVALID)
             else:
                 hlit = br.rd(5) + 257
                 hdist = br.rd(5) + 1
@@ -87,7 +108,8 @@ def host_decode(stream):
                 lens = np.zeros(hlit + hdist, np.int32)
                 i = 0
                 while i < hlit + hdist:
-                    s = probe(cl, 7, br)
+                    e = probe(cl, 7, br)
+                    s = (e >> 8) & 0x1FF
                     if s < 16:
                         lens[i] = s
                         i += 1
@@ -100,21 +122,19 @@ def host_decode(stream):
                     else:
                         i += 11 + br.rd(7)
                 lt, e1 = PI.build_table_host(lens[:hlit], PI.LT_ROOT,
-                                             PI.LT_SIZE)
+                                             PI.LT_SIZE, PI._litlen_payload)
                 dt, e2 = PI.build_table_host(lens[hlit:], PI.DT_ROOT,
-                                             PI.DT_SIZE)
+                                             PI.DT_SIZE, PI._dist_payload,
+                                             PI.D_INVALID)
             assert not (e1 or e2), (e1, e2)
             while True:
-                sym = probe(lt, PI.LT_ROOT, br)
+                sym, length = probe_litlen(lt, br)
                 if sym < 256:
                     out.append(sym)
                 elif sym == 256:
                     break
                 else:
-                    li = sym - 257
-                    length = T.LENGTH_BASE[li] + br.rd(int(T.LENGTH_EXTRA[li]))
-                    ds = probe(dt, PI.DT_ROOT, br)
-                    dist = T.DIST_BASE[ds] + br.rd(int(T.DIST_EXTRA[ds]))
+                    dist = probe_dist(dt, br)
                     for _ in range(length):
                         out.append(out[-dist])
         if bfinal:
@@ -219,7 +239,7 @@ def stage_kernel():
                            .astype(np.int32))
         avail = jnp.asarray(np.minimum(
             nbits - 32 * start_w.astype(np.int64),
-            (PI.IN_W - 2) * 32).astype(np.int32))
+            (PI.IN_W - 3) * 32).astype(np.int32))
         pad = (-len(st)) % 4
         words = np.frombuffer(st + b"\x00" * pad, np.uint8).view(np.int32)
         words = jnp.asarray(

@@ -93,7 +93,7 @@ def time_case(st, B=256, reps=4):
     bit0 = jnp.asarray((offs - 32 * start_w.astype(np.int64)).astype(np.int32))
     avail = jnp.asarray(np.minimum(
         nbits - 32 * start_w.astype(np.int64),
-        (PI.IN_W - 2) * 32).astype(np.int32))
+        (PI.IN_W - 3) * 32).astype(np.int32))
     pad = (-len(st)) % 4
     words = np.frombuffer(st + b"\x00" * pad, np.uint8).view(np.int32)
     words = jnp.asarray(np.concatenate([words, np.zeros(PI.IN_W, np.int32)]))
