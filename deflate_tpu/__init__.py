@@ -18,6 +18,7 @@ import numpy as np
 
 from deflate_tpu.models import host_inflate as _hi
 from deflate_tpu.runtime import stitch as _stitch
+from deflate_tpu.utils.config import CodecConfig
 from deflate_tpu.utils.tables import BLOCK_SIZE
 
 InflateError = _hi.InflateError
@@ -25,7 +26,7 @@ InflateError = _hi.InflateError
 __all__ = ["compress", "compress_file", "decompress", "decompress_zlib",
            "decompress_file", "compress_zlib", "compress_gzip",
            "decompress_gzip", "compress_many", "decompress_many",
-           "InflateError"]
+           "InflateError", "CodecConfig"]
 
 _BATCH_BUCKETS = (1, 8, 64)
 
@@ -46,23 +47,47 @@ def _bucket(n: int) -> int:
     return _BATCH_BUCKETS[-1]
 
 
-def compress(data, level: int = 2, backend: str = "tpu") -> bytes:
+def compress(data, level: int = 2, backend: str = "tpu",
+             config=None, stats: dict | None = None) -> bytes:
     """Compress to a raw DEFLATE stream (decodable by zlib wbits=-15).
 
     backend: "tpu" (the JAX/device encoder — default), "native" (the C++
     host runtime, deflate_tpu/native/deflate.cpp), or "auto" (native for
     sub-block inputs where a device round trip costs more than the work).
+
+    config: a ``deflate_tpu.CodecConfig``; when given it supplies level /
+    backend / container (a "zlib" container wraps the stream per RFC
+    1950).  stats: an empty dict that receives a structured run report
+    (utils/metrics.RunReport schema: ratio, MB/s, block-type histogram).
     """
+    if config is not None:
+        level = config.level
+        backend = config.backend
+        if config.container == "zlib":
+            inner = compress(data, level, backend, stats=stats)
+            hdr = bytes([0x78, 0x01])
+            adler = _hi.adler32(bytes(_as_u8(data).tobytes()))
+            return hdr + inner + adler.to_bytes(4, "big")
     if not 0 <= level <= 3:
         raise ValueError(f"level must be 0..3, got {level}")
     if backend not in ("tpu", "native", "auto"):
         raise ValueError(f"unknown backend {backend!r}")
+    report = None
+    if stats is not None:
+        from deflate_tpu.utils.metrics import RunReport
+
+        report = RunReport("compress")
     buf = _as_u8(data)
     if backend == "native" or (backend == "auto" and len(buf) < BLOCK_SIZE):
         from deflate_tpu import native as _nat
 
         out = _nat.deflate(buf.tobytes(), level)
         if out is not None:
+            if report is not None:
+                report.bytes_in = len(buf)
+                report.bytes_out = len(out)
+                report.extra["backend"] = "native"
+                stats.update(report.finish())
             return out
 
     import jax.numpy as jnp
@@ -90,17 +115,60 @@ def compress(data, level: int = 2, backend: str = "tpu") -> bytes:
         phase = (phase + int(total)) & 7
         done += take
     out_words, out_bits = _stitch.stitch_segments(segments)
-    return _stitch.words_to_bytes(out_words, out_bits)
+    stream = _stitch.words_to_bytes(out_words, out_bits)
+    if report is not None:
+        import jax.numpy as jnp
+
+        from deflate_tpu.models import encoder as E
+        blocks = np.zeros((nblocks, BLOCK_SIZE), np.uint8)
+        blens = np.zeros((nblocks,), np.int32)
+        for i in range(nblocks):
+            chunk = buf[i * BLOCK_SIZE:(i + 1) * BLOCK_SIZE]
+            blocks[i, :len(chunk)] = chunk
+            blens[i] = len(chunk)
+        choice, _, _, _ = E.plan_sizes(
+            jnp.asarray(blocks), jnp.asarray(blens),
+            jnp.ones((nblocks,), bool), level)
+        report.bytes_in = len(buf)
+        report.bytes_out = len(stream)
+        report.extra["backend"] = "tpu"
+        report.extra["level"] = level
+        report.add_blocks(np.asarray(choice))
+        stats.update(report.finish())
+    return stream
 
 
 def decompress(data, out_size: int | None = None,
-               device: bool = False) -> bytes:
+               device: bool = False, config=None,
+               stats: dict | None = None) -> bytes:
     """Decompress a raw DEFLATE stream.
 
-    device=True runs the massively-parallel TPU decoder
-    (models/decoder.py) with automatic host fallback on any stream it
-    cannot represent; device=False uses the host decoder.
+    device=True runs the TPU decoder (Pallas kernel first, XLA decoder
+    second) with automatic host fallback on any stream it cannot
+    represent; device=False uses the host decoder.  config: a
+    ``CodecConfig`` supplying device_decode / container; stats: an empty
+    dict that receives a structured run report.
     """
+    if config is not None:
+        device = config.device_decode
+        if config.container == "zlib":
+            out = decompress_zlib(data, device=device)
+            if stats is not None:
+                stats.update({"op": "decompress", "bytes_in": len(data),
+                              "bytes_out": len(out), "container": "zlib"})
+            return out
+    if stats is not None:
+        import time as _time
+
+        t0 = _time.perf_counter()
+        out = decompress(data, out_size, device)
+        dt = _time.perf_counter() - t0
+        stats.update({
+            "op": "decompress", "bytes_in": len(data),
+            "bytes_out": len(out), "seconds": round(dt, 4),
+            "mb_per_s": round(len(out) / dt / 1e6, 2) if dt else None,
+            "device": device})
+        return out
     if device:
         from deflate_tpu.models import decoder as _dd
         from deflate_tpu.models import pallas_decoder as _pd
@@ -381,9 +449,49 @@ def compress_file(src: str, dst: str, level: int = 2,
             fout.write(bytes([tail_byte]))
 
 
-def decompress_file(src: str, dst: str) -> None:
-    with open(src, "rb") as f:
-        data = f.read()
-    out = decompress(data)
-    with open(dst, "wb") as f:
-        f.write(out)
+def decompress_file(src: str, dst: str, chunk_bytes: int = 1 << 23) -> None:
+    """Streaming file->file decompression in bounded memory.
+
+    Decodes block by block with a sliding input window and a 32 KiB
+    output-history window (cross-block back-references are RFC-legal in
+    foreign streams), so peak memory is O(chunk_bytes), independent of
+    the file size.  Blocks spanning a read boundary are handled by
+    extending the window and retrying — the case the reference's chunked
+    file path gets wrong (inflate.hpp:390-408, SURVEY.md B5).
+    """
+    from deflate_tpu.models import host_inflate as _hi2
+
+    with open(src, "rb") as fin, open(dst, "wb") as fout:
+        ibuf = bytearray(fin.read(chunk_bytes))
+        eof = len(ibuf) < chunk_bytes
+        ibase = 0                       # absolute byte offset of ibuf[0]
+        bitpos = 0                      # absolute bit position
+        history = b""
+        while True:
+            local = bitpos - 8 * ibase
+            try:
+                out, end_local, bfinal = _hi2.inflate_block_streaming(
+                    bytes(ibuf), local, history)
+            except (InflateError, IndexError):
+                if eof:
+                    raise InflateError(
+                        f"truncated or corrupt stream near bit {bitpos}"
+                    ) from None
+                more = fin.read(chunk_bytes)
+                eof = len(more) < chunk_bytes
+                ibuf += more
+                continue
+            fout.write(out)
+            history = (history + out)[-32768:]
+            bitpos = 8 * ibase + end_local
+            if bfinal:
+                break
+            drop = (bitpos // 8) - ibase
+            if drop > chunk_bytes // 2:          # slide consumed input out
+                del ibuf[:drop]
+                ibase += drop
+            if not eof and len(ibuf) - (bitpos // 8 - ibase) \
+                    < chunk_bytes // 2:
+                more = fin.read(chunk_bytes)
+                eof = len(more) < chunk_bytes
+                ibuf += more

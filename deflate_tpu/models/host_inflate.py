@@ -143,22 +143,40 @@ def inflate_raw_consumed(data: bytes, max_out: int | None = None):
 
 
 def inflate_raw(data: bytes, max_out: int | None = None,
-                start_bit: int = 0, single_block: bool = False) -> bytes:
+                start_bit: int = 0, single_block: bool = False,
+                history: bytes = b"") -> bytes:
     """Decode a raw DEFLATE stream to bytes.
 
     start_bit / single_block support random-access block decode from a
     manifest (runtime/manifest.py): begin at an arbitrary bit offset and
-    stop after one block regardless of BFINAL.
+    stop after one block regardless of BFINAL.  ``history`` seeds the
+    back-reference window (last <=32 KiB of already-decoded output) for
+    streaming block-by-block decode of foreign streams whose matches
+    cross block boundaries (RFC-legal; inflate.hpp:284,268).
     """
     br = _BitReader(data)
     br.pos = start_bit
-    return _inflate_loop(br, max_out, single_block)
+    return _inflate_loop(br, max_out, single_block, history)
+
+
+def inflate_block_streaming(data: bytes, start_bit: int,
+                            history: bytes = b""):
+    """Decode ONE block starting at ``start_bit``; returns
+    (new_bytes, end_bit, bfinal) — the resume triple for bounded-memory
+    file decode (the working analog of the reference's broken chunked
+    file path, inflate.hpp:390-408, B5)."""
+    br = _BitReader(data)
+    br.pos = start_bit
+    bfinal = (data[start_bit >> 3] >> (start_bit & 7)) & 1
+    out = _inflate_loop(br, None, True, history)
+    return out, br.pos, bool(bfinal)
 
 
 def _inflate_loop(br: _BitReader, max_out: int | None,
-                  single_block: bool) -> bytes:
+                  single_block: bool, history: bytes = b"") -> bytes:
     data = br.data
-    out = bytearray()
+    out = bytearray(history)
+    nhist = len(history)
     while True:
         bfinal = br.read(1)
         btype = br.read(2)
@@ -201,12 +219,12 @@ def _inflate_loop(br: _BitReader, max_out: int | None,
                     else:                      # overlapping copy
                         for j in range(length):
                             out.append(out[start + j])
-            if max_out is not None and len(out) > max_out:
+            if max_out is not None and len(out) - nhist > max_out:
                 raise InflateError("output exceeds declared size")
         else:
             raise InflateError("invalid block type 3")
         if bfinal or single_block:
-            return bytes(out)
+            return bytes(out[nhist:])
 
 
 def adler32(data: bytes) -> int:

@@ -108,3 +108,95 @@ def test_decompress_file_roundtrip(tmp_path):
     deflate_tpu.compress_file(str(src), str(mid), level=3)
     deflate_tpu.decompress_file(str(mid), str(out))
     assert out.read_bytes() == data
+
+
+class TestConfigAndStats:
+    """SURVEY.md §5.5/§5.6: the typed config and the structured run
+    report are wired through the public API (VERDICT round-1 weak #2/#5)."""
+
+    def test_config_roundtrip_raw(self):
+        import zlib
+
+        import deflate_tpu as D
+        cfg = D.CodecConfig(level=3, backend="tpu")
+        data = b"config wired " * 400
+        enc = D.compress(data, config=cfg)
+        assert zlib.decompress(enc, -15) == data
+        assert D.decompress(enc, config=D.CodecConfig()) == data
+
+    def test_config_zlib_container(self):
+        import zlib
+
+        import deflate_tpu as D
+        cfg = D.CodecConfig(level=2, container="zlib")
+        data = b"zlib container via config" * 100
+        enc = D.compress(data, config=cfg)
+        assert zlib.decompress(enc) == data
+        assert D.decompress(enc, config=cfg) == data
+
+    def test_stats_report(self):
+        import deflate_tpu as D
+        data = b"statistics " * 3000 + bytes(range(256)) * 16
+        stats = {}
+        enc = D.compress(data, level=2, stats=stats)
+        assert stats["op"] == "compress"
+        assert stats["bytes_in"] == len(data)
+        assert stats["bytes_out"] == len(enc)
+        assert 0 < stats["ratio"] <= 1.1
+        assert sum(stats["block_types"].values()) >= 1
+        dstats = {}
+        out = D.decompress(enc, stats=dstats)
+        assert out == data
+        assert dstats["bytes_out"] == len(data)
+
+    def test_config_validation(self):
+        import pytest as _pytest
+
+        import deflate_tpu as D
+        with _pytest.raises(ValueError):
+            D.CodecConfig(level=7)
+        with _pytest.raises(ValueError):
+            D.CodecConfig(container="7z")
+
+
+class TestStreamingDecompressFile:
+    """decompress_file streams in bounded memory (VERDICT missing #7;
+    reference B5 analog: a block spanning a read boundary must work)."""
+
+    def test_block_spans_read_boundary(self, tmp_path):
+        import zlib
+
+        import deflate_tpu as D
+        rng = __import__("numpy").random.default_rng(11)
+        data = (b"boundary " * 20000
+                + rng.integers(0, 256, 100000, dtype=__import__("numpy")
+                               .uint8).tobytes()) * 3
+        src = tmp_path / "in.z"
+        dst = tmp_path / "out.bin"
+        src.write_bytes(zlib.compress(data, 6)[2:-4])   # foreign stream
+        # tiny window forces many refills and boundary-spanning blocks
+        D.decompress_file(str(src), str(dst), chunk_bytes=4096)
+        assert dst.read_bytes() == data
+
+    def test_own_stream_and_cross_block_history(self, tmp_path):
+        import deflate_tpu as D
+        # foreign stream with matches crossing 32 KiB block boundaries
+        import zlib
+        data = bytes(range(256)) * 600                  # 153600 B periodic
+        src = tmp_path / "in.z"
+        dst = tmp_path / "out.bin"
+        src.write_bytes(zlib.compress(data, 9)[2:-4])
+        D.decompress_file(str(src), str(dst), chunk_bytes=8192)
+        assert dst.read_bytes() == data
+
+    def test_truncated_raises(self, tmp_path):
+        import zlib
+
+        import deflate_tpu as D
+        import pytest as _p
+        data = b"will be cut" * 5000
+        st = zlib.compress(data, 6)[2:-4]
+        src = tmp_path / "in.z"
+        src.write_bytes(st[: len(st) // 2])
+        with _p.raises(D.InflateError):
+            D.decompress_file(str(src), str(tmp_path / "o"), chunk_bytes=2048)
