@@ -65,3 +65,45 @@ def test_public_api_backends():
         enc = deflate_tpu.compress(data, 2, backend=backend)
         assert zlib.decompress(enc, -15) == data
     assert deflate_tpu.decompress(zlib.compress(data, 9)[2:-4]) == data
+
+
+class TestSanitizers:
+    """SURVEY.md §5.2: real ASan/UBSan coverage for the C++ runtime that
+    parses untrusted input (the reference's ASan wiring is commented out,
+    CMakeLists.txt:11-20, and never ran)."""
+
+    def test_asan_ubsan_fuzz_binary(self):
+        """Build the sanitizer-instrumented fuzz driver and run it: 1500
+        random-garbage inputs + 120 round-trips with truncation and
+        corruption sweeps.  Any ASan/UBSan finding aborts -> nonzero."""
+        import os
+        import subprocess
+
+        d = os.path.join(os.path.dirname(__file__), "..",
+                         "deflate_tpu", "native")
+        r = subprocess.run(["make", "-s", "-C", d, "asan_fuzz"],
+                           capture_output=True, timeout=180, text=True)
+        assert r.returncode == 0, r.stderr
+        r = subprocess.run([os.path.join(d, "asan_fuzz")],
+                           capture_output=True, timeout=120, text=True)
+        assert r.returncode == 0, f"sanitizer findings:\n{r.stderr[-3000:]}"
+        assert "asan_fuzz ok=" in r.stdout
+
+    def test_random_garbage_is_error_clean(self):
+        """1000 random-garbage buffers through the production (non-ASan)
+        dt_inflate binding: every case must return cleanly (decoded bytes
+        or a DT error), never crash or hang."""
+        import numpy as np
+
+        from deflate_tpu import native as N
+        if N.lib() is None:
+            import pytest as _p
+            _p.skip("native toolchain unavailable")
+        rng = np.random.default_rng(99)
+        for i in range(1000):
+            n = int(rng.integers(0, 2048))
+            buf = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            try:
+                N.inflate(buf, 1 << 16)
+            except ValueError:
+                pass
