@@ -74,3 +74,59 @@ def test_decode_mesh_roundtrip():
     stream, man = MF.compress_with_manifest(data, level=2)
     got = M2.decompress_mesh(stream, man, mesh)
     assert got == data
+
+
+class TestFaultInjection:
+    """SURVEY.md §5.3 failure detection on the mesh path: corruption in
+    any shard's blocks must surface as an error (never wrong bytes), and
+    recovery = per-block retry using the manifest's independence
+    guarantee (quirk Q5)."""
+
+    def test_corrupt_block_surfaces_error(self):
+        import numpy as np
+        import pytest as _p
+
+        import deflate_tpu
+        from deflate_tpu.parallel import mesh as M
+        from deflate_tpu.runtime import manifest as MAN
+
+        rng = np.random.default_rng(21)
+        data = (rng.integers(97, 123, 8 * 32768, dtype=np.uint8)
+                .tobytes())
+        stream, man = MAN.compress_with_manifest(data, level=2)
+        # flip bits inside block 3's span (body, past the header)
+        bad = bytearray(stream)
+        off = man.blocks[3][0] // 8 + 40
+        for i in range(8):
+            bad[off + i] ^= 0xA5
+        with _p.raises(ValueError):
+            M.decompress_mesh(bytes(bad), man)
+
+    def test_per_block_retry_recovers(self):
+        """Drop one shard's output (simulated worker failure) and recover
+        by re-decoding just the affected blocks via the manifest."""
+        import numpy as np
+
+        import deflate_tpu
+        from deflate_tpu.runtime import manifest as MAN
+
+        rng = np.random.default_rng(22)
+        data = (rng.integers(97, 123, 6 * 32768, dtype=np.uint8)
+                .tobytes())
+        stream, man = MAN.compress_with_manifest(data, level=2)
+        # decode all blocks; pretend blocks 2..3 (one worker's shard) died
+        parts = []
+        pos = 0
+        for i, (_, _, olen) in enumerate(man.blocks):
+            if i in (2, 3):
+                parts.append(None)           # lost shard
+            else:
+                parts.append(MAN.decode_range(stream, man, pos, pos + olen))
+            pos += olen
+        # recovery: blocks are independent, so re-decode only the lost ones
+        pos = 0
+        for i, (_, _, olen) in enumerate(man.blocks):
+            if parts[i] is None:
+                parts[i] = MAN.decode_range(stream, man, pos, pos + olen)
+            pos += olen
+        assert b"".join(parts) == data
