@@ -16,9 +16,18 @@ transfer); verification pulls the stream once outside the timed region.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def _mark(msg):
+    print(f"[bench +{time.perf_counter() - _T0:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
 
 REF_ENCODE_MBPS = 15.0          # reference level-2, one CPU core (BASELINE.md)
 NBLOCKS = 256                   # 8 MiB per device call
@@ -59,20 +68,22 @@ def main():
 
     @jax.jit
     def step(blocks):
-        w, t = E.encode_batch(blocks, blens, live, np.int32(NBLOCKS - 1),
-                              LEVEL, 0)
-        return w, t, t + w[0].astype(jnp.int32)    # scalar sync handle
+        w, t, off, bits = E.encode_batch_with_offsets(
+            blocks, blens, live, np.int32(NBLOCKS - 1), LEVEL, 0)
+        return w, t, off, t + w[0].astype(jnp.int32)   # scalar sync handle
 
     # warmup/compile, then verify once (bulk transfer outside timing)
-    words, total, _ = step(blocks)
+    _mark("compiling L2 encode")
+    words, total, offsets_dev, _ = step(blocks)
     encoded = S.words_to_bytes(np.asarray(words), int(total))
     import zlib
     assert zlib.decompress(encoded, -15) == corpus, "round trip failed"
 
+    _mark("timing L2 encode")
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        _, _, s = step(blocks)
+        _, _, _, s = step(blocks)
         _ = int(s)                                 # forces full execution
     dt = (time.perf_counter() - t0) / iters
 
@@ -89,6 +100,94 @@ def main():
         ddt = time.perf_counter() - t0
         assert out == corpus
         host_decode_mbps = round(nbytes / ddt / 1e6, 1)
+
+    # secondary: DEVICE inflate via the Pallas scalar-core kernel,
+    # manifest-batched (every block in one launch).  Timed kernel-only by
+    # syncing on the tiny status output (d2h of the 8 MiB payload would
+    # measure the dev tunnel, not the chip).
+    device_decode_mbps = None
+    try:
+        if time.perf_counter() - _T0 > 420:
+            raise TimeoutError("bench budget: skipping device decode")
+        from deflate_tpu.ops import pallas_inflate as PI
+
+        offs = np.asarray(offsets_dev, np.int64)
+        # correctness first: full decode through the public path
+        from deflate_tpu.models import pallas_decoder as PD
+
+        _mark("compiling pallas inflate (grid 64)")
+        got = PD.inflate_manifest(
+            encoded, [(int(offs[i]), 0, BLOCK_SIZE)
+                      for i in range(NBLOCKS)])
+        assert got == corpus, "device decode mismatch"
+
+        start_w = ((offs // 32) // 1024 * 1024).astype(np.int64)
+        start_tiles = jnp.asarray((start_w // 1024).astype(np.int32))
+        bit0 = jnp.asarray((offs - 32 * start_w).astype(np.int32))
+        nbits_s = len(encoded) * 8
+        avail = jnp.asarray(np.minimum(
+            nbits_s - 32 * start_w, (PI.IN_W - 3) * 32).astype(np.int32))
+        pad = (-len(encoded)) % 4
+        words = np.frombuffer(encoded + b"\x00" * pad,
+                              np.uint8).view(np.int32)
+        words = jnp.asarray(
+            np.concatenate([words, np.zeros(PI.IN_W, np.int32)]))
+        statics = jnp.asarray(PI.make_statics())
+
+        def dstep():
+            _, s = PI._inflate_blocks_jit(words, start_tiles, bit0, avail,
+                                          statics, grid=NBLOCKS // PI.K)
+            return s
+
+        _mark("timing device decode")
+        s = dstep()
+        int(np.asarray(s[0, 0]))                     # warm + sync
+        t0 = time.perf_counter()
+        for _ in range(3):
+            s = dstep()
+        int(np.asarray(s[0, 0]))
+        ddt = (time.perf_counter() - t0) / 3
+        device_decode_mbps = round(nbytes / ddt / 1e6, 1)
+    except Exception:
+        pass
+    # secondary: L3 ("best") encode throughput on a 1 MiB slice
+    encode_l3_mbps = ratio_l3 = None
+    try:
+        if time.perf_counter() - _T0 > 450:
+            raise TimeoutError("bench budget: skipping L3")
+        L3_BLOCKS = 32
+        bl3 = jnp.asarray(buf[:L3_BLOCKS * BLOCK_SIZE]
+                          .reshape(L3_BLOCKS, BLOCK_SIZE))
+        bl3_lens = jnp.full((L3_BLOCKS,), BLOCK_SIZE, jnp.int32)
+        bl3_live = jnp.ones((L3_BLOCKS,), bool)
+
+        @jax.jit
+        def step3(b):
+            w, t = E.encode_batch(b, bl3_lens, bl3_live,
+                                  np.int32(L3_BLOCKS - 1), 3, 0)
+            return w, t, t + w[0].astype(jnp.int32)
+
+        _mark("compiling L3 encode")
+        w3, t3, _ = step3(bl3)
+        enc3 = S.words_to_bytes(np.asarray(w3), int(t3))
+        assert zlib.decompress(enc3, -15) == corpus[:L3_BLOCKS * BLOCK_SIZE]
+        t0 = time.perf_counter()
+        for _ in range(3):
+            _, _, s3 = step3(bl3)
+            _ = int(s3)
+        encode_l3_mbps = round(L3_BLOCKS * BLOCK_SIZE
+                               / ((time.perf_counter() - t0) / 3) / 1e6, 2)
+        ratio_l3 = round(len(enc3) / (L3_BLOCKS * BLOCK_SIZE), 4)
+    except Exception as e:
+        _mark(f"L3 skipped: {e}")
+
+    scaling = None
+    try:
+        with open("SCALING.json") as f:
+            scaling = json.load(f)
+    except Exception:
+        pass
+
     result = {
         "metric": "encode_throughput_L2",
         "value": round(mbps, 2),
@@ -99,6 +198,10 @@ def main():
             "compressed_bytes": len(encoded),
             "ratio": round(ratio, 4),
             "host_decode_mbps": host_decode_mbps,
+            "device_decode_mbps": device_decode_mbps,
+            "encode_L3_mbps": encode_l3_mbps,
+            "ratio_L3_1MiB": ratio_l3,
+            "scaling": scaling,
             "device": str(jax.devices()[0].platform),
             "note": "baseline = reference level-2 ~15 MB/s 1 CPU core "
                     "(which emits CORRUPT output, SURVEY.md B1; its fastest "
