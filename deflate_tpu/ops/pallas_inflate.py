@@ -151,9 +151,10 @@ def build_table_host(lens, root, cap, payload=_cl_payload,
     cur_low, cur_off, cur_bits = -1, 0, 0
     next_sub = 1 << root
     err = False
-    for si in range(npresent):
-        sym = int(work[si])
-        l = int(lens[sym])
+    rem = cnt.copy()                   # remaining-code counts: zlib sizes
+    for si in range(npresent):         # each sub-table for the codes NOT
+        sym = int(work[si])            # yet placed (count[len]-- in
+        l = int(lens[sym])             # inflate_table), so decrement below
         if l <= root:
             entry = payload(sym) | l
             for hi in range(1 << (root - l)):
@@ -164,7 +165,7 @@ def build_table_host(lens, root, cap, payload=_cl_payload,
                 curr = l - root
                 left2 = 1 << curr
                 while curr + root < maxlen:
-                    left2 -= cnt[curr + root]
+                    left2 -= rem[curr + root]
                     if left2 <= 0:
                         break
                     curr += 1
@@ -178,6 +179,7 @@ def build_table_host(lens, root, cap, payload=_cl_payload,
             idx0 = huff >> root
             for hi in range(1 << (cur_bits - (l - root))):
                 tab[cur_off + idx0 + (hi << (l - root))] = entry
+        rem[l] -= 1
         incr = 1 << (l - 1)
         while huff & incr:
             incr >>= 1
@@ -361,6 +363,9 @@ def _kernel(starts_ref, bit0_ref, avail_ref,          # scalar prefetch
                               (huff, cur_low, cur_off, cur_bits,
                                next_sub, err))
             huff, cur_low, cur_off, cur_bits, next_sub, err = c2
+            # zlib inflate_table decrements count[len] per placed code so
+            # each new sub-table is sized for the REMAINING codes only
+            cnts[cb + l] = cnts[cb + l] - 1
             incr = jax.lax.while_loop(
                 lambda v: (huff & v) != 0,
                 lambda v: srl(v, 1), i32(1) << (l - 1))

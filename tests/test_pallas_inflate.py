@@ -180,3 +180,79 @@ class TestManifestPath:
         assert zlib.decompress(stream, -15) == data
         got = M.decode_all(stream, man, device=True, interpret=True)
         assert got == data
+
+
+class TestTableBuilderDifferential:
+    """Regression for the sub-table sizing bug: zlib's inflate_table
+    decrements count[len] as codes are placed, so each sub-table is sized
+    for the REMAINING codes; sizing with static counts truncates a later
+    sub-table (found on a real L2 dist tree, lengths 2..12, root 6)."""
+
+    FAILING_DIST_TREE = [12, 0, 11, 0, 12, 11, 11, 11, 10, 11, 9, 9, 7, 7,
+                         6, 6, 5, 5, 4, 4, 3, 3, 2, 3, 6, 6, 5, 5, 5, 7]
+
+    @staticmethod
+    def _decode_all(tab, lens, root, nsyms):
+        """Decode every symbol's canonical code through the two-level
+        table; return symbol list (None on a broken entry)."""
+        # canonical codes (RFC 1951 order)
+        cnt = np.bincount(lens, minlength=16)
+        cnt[0] = 0
+        nxt = np.zeros(16, np.int64)
+        code = 0
+        for l in range(1, 16):
+            code = (code + cnt[l - 1]) << 1
+            nxt[l] = code
+        got = []
+        for sym in range(nsyms):
+            l = int(lens[sym])
+            if l == 0:
+                continue
+            c = int(nxt[l]); nxt[l] += 1
+            rev = int(f"{c:0{l}b}"[::-1], 2)      # LSB-first index
+            e = int(tab[rev & ((1 << root) - 1)])
+            nb = 0
+            if e < 0:
+                sb = (e >> 16) & 31
+                e = int(tab[(e & 0x3FF) + ((rev >> root) & ((1 << sb) - 1))])
+                nb = root
+            if e < 0:
+                got.append(None)
+                continue
+            nb += e & 31
+            got.append((sym, nb == l, e))
+        return got
+
+    def test_failing_dist_tree(self):
+        lens = np.asarray(self.FAILING_DIST_TREE, np.int32)
+        tab, err = PI.build_table_host(lens, PI.DT_ROOT, PI.DT_SIZE,
+                                       PI._dist_payload, PI.D_INVALID)
+        assert not err
+        for item in self._decode_all(tab, lens, PI.DT_ROOT, 30):
+            assert item is not None
+            sym, len_ok, e = item
+            assert len_ok, f"sym {sym} wrong code length"
+            assert (e >> 9) & 0x7FFF == int(
+                __import__("deflate_tpu.utils.tables",
+                           fromlist=["x"]).DIST_BASE[sym])
+
+    def test_random_trees_roundtrip(self):
+        """300 random Kraft-exact trees: every code must decode back to
+        its own symbol with its own length through the built table."""
+        from deflate_tpu.ops import huffman as H
+        import jax.numpy as jnp
+        rng = np.random.default_rng(123)
+        for trial in range(300):
+            nsyms = int(rng.integers(2, 30))
+            freq = rng.integers(0, 100, nsyms)
+            freq[rng.integers(0, nsyms)] += 1      # at least one nonzero
+            lens = np.asarray(H.huffman_code_lengths(
+                jnp.asarray(np.pad(freq, (0, 30 - nsyms)).astype(np.int32)),
+                15))[:30]
+            if (lens > 0).sum() < 2:
+                continue
+            tab, err = PI.build_table_host(lens, PI.DT_ROOT, PI.DT_SIZE,
+                                           PI._dist_payload, PI.D_INVALID)
+            assert not err, f"trial {trial}"
+            for item in self._decode_all(tab, lens, PI.DT_ROOT, 30):
+                assert item is not None and item[1], f"trial {trial}: {item}"
