@@ -234,8 +234,11 @@ def choose_blocks(fixed_bits, dyn_bits, blens, live, level: int,
     return choice, pad, offset, bits
 
 
-def emit_block(block, blen, plan, choice, pad, bfinal):
-    """Stage C: emit one block's chosen encoding into a word buffer."""
+def _emit_fields(block, blen, plan, choice, pad, bfinal):
+    """Shared stage-C planning: per-position packet payloads + header
+    entries.  Both placement backends consume this — the XLA scatter path
+    (emit_block) and the Pallas bit-pack kernel (build_packets +
+    ops/pallas_pack.py)."""
     tk = plan["tk"]
     stored = choice == CH_STORED
     fixed = choice == CH_FIXED
@@ -288,10 +291,8 @@ def emit_block(block, blen, plan, choice, pad, bfinal):
         hi = hi | jnp.where(in_lo, spill,
                             fld << jnp.clip(sh - 32, 0, 31).astype(jnp.uint32))
         sh = sh + l
-    tok_off = jnp.cumsum(sh) - sh                   # token-segment offsets
-    tok_bits = tok_off[-1] + sh[-1]
 
-    # --- preamble + dynamic header + EOB, packed densely ----------------
+    # --- preamble + dynamic header entries -------------------------------
     btype = jnp.where(stored, 0, jnp.where(fixed, 1, 2))
     hdr3 = jnp.stack([bfinal.astype(jnp.int32) | (btype << 1),
                       jnp.int32(0),              # stored byte-align padding
@@ -302,8 +303,28 @@ def emit_block(block, blen, plan, choice, pad, bfinal):
                         jnp.where(stored, 16, 0)])
     hv = plan["header_vals"]
     hl = jnp.where(dyn, plan["header_lens"], 0)
+
+    eob_len = jnp.where(stored, 0, lit_lens[256])
+    ev = (lit_codes[256].astype(jnp.uint32)
+          & ((jnp.uint32(1) << eob_len.astype(jnp.uint32)) - 1))
+
+    return {"lo": lo, "hi": hi, "sh": sh, "live_tok": live_tok,
+            "stored": stored, "hdr3": hdr3, "hdr3_l": hdr3_l,
+            "hv": hv, "hl": hl, "eob_v": ev, "eob_len": eob_len,
+            "ntok": tk["ntok"]}
+
+
+def emit_block(block, blen, plan, choice, pad, bfinal):
+    """Stage C, XLA scatter backend: emit one block's chosen encoding into
+    a word buffer (pair-fused 4x[N/2]-lane scatter placement)."""
+    f = _emit_fields(block, blen, plan, choice, pad, bfinal)
+    lo, hi, sh = f["lo"], f["hi"], f["sh"]
+    stored = f["stored"]
+    tok_off = jnp.cumsum(sh) - sh                   # token-segment offsets
+    tok_bits = tok_off[-1] + sh[-1]
     hdr_words, hdr_bits = BP.pack_bits(
-        jnp.concatenate([hdr3, hv]), jnp.concatenate([hdr3_l, hl]), WB)
+        jnp.concatenate([f["hdr3"], f["hv"]]),
+        jnp.concatenate([f["hdr3_l"], f["hl"]]), WB)
 
     # --- place token packets at hdr_bits + tok_off ----------------------
     # pairs of positions fuse into one 4-word window before scattering:
@@ -344,16 +365,58 @@ def emit_block(block, blen, plan, choice, pad, bfinal):
 
     # --- end-of-block code ----------------------------------------------
     eob_off = hdr_bits + tok_bits
-    eob_len = jnp.where(stored, 0, lit_lens[256])
-    ev = (lit_codes[256].astype(jnp.uint32)
-          & ((jnp.uint32(1) << eob_len.astype(jnp.uint32)) - 1))
+    eob_len, ev = f["eob_len"], f["eob_v"]
     er = (eob_off & 31).astype(jnp.uint32)
     words = words.at[eob_off >> 5].add(ev << er, mode="drop")
     words = words.at[(eob_off >> 5) + 1].add(
         jnp.where(er == 0, jnp.uint32(0),
                   ev >> (jnp.uint32(32) - jnp.maximum(er, 1))), mode="drop")
     nbits = eob_off + eob_len
+    return _finish_block(words, block, blen, stored, pad, nbits)
 
+
+def build_packets(block, blen, plan, choice, pad, bfinal):
+    """Stage C, Pallas backend: flatten one block's emission into the
+    packet-list contract of ops/pallas_pack.py — (off, lo, hi) int32 [NPK]
+    plus the live-packet count.  Live tokens are compacted to the front
+    by one sort (key = position; dead lanes to the tail) so the kernel
+    loop runs exactly `count` iterations."""
+    from deflate_tpu.ops.pallas_pack import NPK
+
+    f = _emit_fields(block, blen, plan, choice, pad, bfinal)
+    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa: E731
+
+    hdr_lens = jnp.concatenate([f["hdr3_l"], f["hl"]])
+    hmask = jnp.where(hdr_lens > 0,
+                      (jnp.int32(1) << jnp.minimum(hdr_lens, 16)) - 1, 0)
+    hdr_lo = jnp.concatenate([f["hdr3"], f["hv"]]).astype(jnp.int32) & hmask
+    HD = hdr_lo.shape[0]
+
+    pos = jnp.arange(N, dtype=jnp.int32)
+    BIG = jnp.int32(1) << 20
+    key = jnp.concatenate([
+        jnp.where(f["live_tok"], pos, BIG + pos),
+        jnp.where(f["stored"], BIG + N, N)[None]])          # EOB slot
+    lo_t = jnp.concatenate([bc(f["lo"]), bc(f["eob_v"])[None]])
+    hi_t = jnp.concatenate([bc(f["hi"]), jnp.zeros((1,), jnp.int32)])
+    sh_t = jnp.concatenate([f["sh"], f["eob_len"][None]])
+    _, slo, shi, ssh = jax.lax.sort([key, lo_t, hi_t, sh_t],
+                                    dimension=0, num_keys=1)
+
+    z = jnp.zeros((NPK - HD - (N + 1),), jnp.int32)
+    all_lo = jnp.concatenate([hdr_lo, slo, z])
+    all_hi = jnp.concatenate([jnp.zeros((HD,), jnp.int32), shi, z])
+    all_sh = jnp.concatenate([hdr_lens, ssh, z])
+    off = jnp.cumsum(all_sh) - all_sh
+    nbits = off[-1] + all_sh[-1]
+    count = HD + jnp.where(f["stored"], 0, f["ntok"] + 1)
+    return (off.astype(jnp.int32), all_lo, all_hi,
+            count.astype(jnp.int32), nbits, f["stored"])
+
+
+def _finish_block(words, block, blen, stored, pad, nbits):
+    """Shared stage-C tail: inject the stored payload and mask bits past
+    the block's end."""
     # --- stored payload: whole-block funnel shift into place ---
     b4 = block.astype(jnp.uint32).reshape(-1, 4)
     w = (b4[:, 0] | (b4[:, 1] << 8) | (b4[:, 2] << 16) | (b4[:, 3] << 24))
@@ -385,8 +448,20 @@ def emit_block(block, blen, plan, choice, pad, bfinal):
     return words & keep
 
 
-@partial(jax.jit, static_argnames=("level",))
-def encode_batch(blocks, blens, live, final_idx, level: int, phase0=0):
+def _default_pack() -> str:
+    """Placement backend: the Pallas bit-pack kernel needs a real TPU
+    (interpret mode is far too slow for 33k-packet loops); everything
+    else uses the XLA scatter path."""
+    try:
+        return ("kernel" if jax.devices()[0].platform in ("tpu", "axon")
+                else "scatter")
+    except Exception:
+        return "scatter"
+
+
+@partial(jax.jit, static_argnames=("level", "pack"))
+def encode_batch(blocks, blens, live, final_idx, level: int, phase0=0,
+                 pack: str | None = None):
     """Encode B blocks into one contiguous bitstream segment.
 
     blocks:    uint8 [B, 32768] (zero padded)
@@ -395,8 +470,12 @@ def encode_batch(blocks, blens, live, final_idx, level: int, phase0=0):
     final_idx: int32 — stream-global index of the BFINAL block, or -1
     phase0:    int32 — absolute bit offset of this segment's start in the
                stream (mod 8 is what matters; stored-block padding needs it)
+    pack:      "kernel" (Pallas bit-pack, TPU), "scatter" (XLA), or None
+               for platform default.
     Returns (words uint32 [B*WB], total_bits int32).
     """
+    if pack is None:
+        pack = _default_pack()
     B = blocks.shape[0]
     phase0 = jnp.asarray(phase0, jnp.int32)
     plans = jax.vmap(lambda b, l: block_plan(b, l, level))(blocks, blens)
@@ -404,10 +483,21 @@ def encode_batch(blocks, blens, live, final_idx, level: int, phase0=0):
         plans["fixed_bits"], plans["dyn_bits"], blens, live, level, phase0)
     offset = offset - phase0            # segment-relative placement
     bfinal = jnp.arange(B) == final_idx
-    words = jax.vmap(
-        lambda bl, ln, i, ch, pd, bf: emit_block(
-            bl, ln, jax.tree.map(lambda x: x[i], plans), ch, pd, bf)
-    )(blocks, blens, jnp.arange(B), choice, pad, bfinal)
+    if pack == "kernel":
+        from deflate_tpu.ops import pallas_pack as PK
+
+        offp, lop, hip, counts, nbitsp, storedv = jax.vmap(
+            lambda bl, ln, i, ch, pd, bf: build_packets(
+                bl, ln, jax.tree.map(lambda x: x[i], plans), ch, pd, bf)
+        )(blocks, blens, jnp.arange(B), choice, pad, bfinal)
+        words = PK.pack_blocks(counts, offp, lop, hip)[:, :WB]
+        words = jax.vmap(_finish_block)(words, blocks, blens, storedv,
+                                        pad, nbitsp)
+    else:
+        words = jax.vmap(
+            lambda bl, ln, i, ch, pd, bf: emit_block(
+                bl, ln, jax.tree.map(lambda x: x[i], plans), ch, pd, bf)
+        )(blocks, blens, jnp.arange(B), choice, pad, bfinal)
     words = jnp.where(live[:, None], words, 0)
 
     total = jnp.sum(bits)
