@@ -128,8 +128,8 @@ def _hist_from_sorted(skey, nbins: int, shift: int):
     return jnp.diff(edges)
 
 
-def block_plan(block, blen, level: int):
-    """Stage A for one block: tokens, trees, header fields, candidate sizes.
+def _plan_pre(block, blen, level: int):
+    """Stage A part 1 for one block: tokens, sorted keys, histograms.
 
     Histograms come from one sort per alphabet (sort ~ 0.6 ns/elem on v5e
     vs ~9 ns/elem for a scatter-add); the sorted keys are reused by
@@ -152,23 +152,53 @@ def block_plan(block, blen, level: int):
     m_i = tk["is_match"].astype(jnp.int32)
     extra_total = jnp.sum((_len_eb(tk["lcode"]) + _dist_eb(tk["dcode"]))
                           * m_i)
+    return {"tk": tk, "skey_l": skey_l, "skey_d": skey_d,
+            "hist_lit": hist_lit, "hist_dist": hist_dist,
+            "extra_total": extra_total}
 
-    dyn_lit_lens = H.huffman_code_lengths(hist_lit, T.MAX_CODE_LEN)
-    dyn_dist_lens = H.huffman_code_lengths(hist_dist, T.MAX_CODE_LEN)
-    hv, hl, header_bits = HDR.emit_dynamic_header(dyn_lit_lens,
-                                                   dyn_dist_lens)
 
+def _plan_post(pre, dyn_lit_lens, dyn_dist_lens, hv, hl, header_bits):
+    """Stage A part 2: analytic candidate sizes."""
+    hist_lit, hist_dist = pre["hist_lit"], pre["hist_dist"]
+    extra_total = pre["extra_total"]
     fixed_bits = (3 + jnp.sum(hist_lit * _J(T.FIXED_LITLEN_LENGTHS))
                   + jnp.sum(hist_dist * _J(T.FIXED_DIST_LENGTHS)[:30])
                   + extra_total)
     dyn_bits = (3 + header_bits + jnp.sum(hist_lit * dyn_lit_lens)
                 + jnp.sum(hist_dist * dyn_dist_lens) + extra_total)
-
-    return {"tk": tk, "skey_l": skey_l, "skey_d": skey_d,
-            "hist_lit": hist_lit, "hist_dist": hist_dist,
-            "dyn_lit_lens": dyn_lit_lens, "dyn_dist_lens": dyn_dist_lens,
+    return {"dyn_lit_lens": dyn_lit_lens, "dyn_dist_lens": dyn_dist_lens,
             "header_vals": hv, "header_lens": hl,
             "fixed_bits": fixed_bits, "dyn_bits": dyn_bits}
+
+
+def block_plan(block, blen, level: int):
+    """Stage A for one block (single-block convenience; batch callers use
+    batch_plan so tree building can ride the scalar-core kernel)."""
+    pre = _plan_pre(block, blen, level)
+    dyn_lit_lens = H.huffman_code_lengths(pre["hist_lit"], T.MAX_CODE_LEN)
+    dyn_dist_lens = H.huffman_code_lengths(pre["hist_dist"],
+                                           T.MAX_CODE_LEN)
+    hv, hl, hb = HDR.emit_dynamic_header(dyn_lit_lens, dyn_dist_lens)
+    return {**pre, **_plan_post(pre, dyn_lit_lens, dyn_dist_lens,
+                                hv, hl, hb)}
+
+
+def batch_plan(blocks, blens, level: int, trees: str = "xla"):
+    """Stage A over a batch: vmapped tokens/histograms, batched tree
+    builds — litlen, dist, AND the header's CL tree — (trees="kernel" ->
+    ops/pallas_tree.py on the scalar core), vmapped header/sizes."""
+    pre = jax.vmap(lambda b, l: _plan_pre(b, l, level))(blocks, blens)
+    dyn_lit_lens = H.huffman_lengths_batch(pre["hist_lit"],
+                                           T.MAX_CODE_LEN, trees)
+    dyn_dist_lens = H.huffman_lengths_batch(pre["hist_dist"],
+                                            T.MAX_CODE_LEN, trees)
+    hpre = jax.vmap(HDR.header_pre)(dyn_lit_lens, dyn_dist_lens)
+    cl_lens = H.huffman_lengths_batch(hpre["cl_hist"],
+                                      T.MAX_CL_CODE_LEN, trees)
+    hv, hl, hb = jax.vmap(HDR.header_post)(hpre, cl_lens)
+    post = jax.vmap(_plan_post)(pre, dyn_lit_lens, dyn_dist_lens,
+                                hv, hl, hb)
+    return {**pre, **post}
 
 
 def _apply_table_sorted(skey, counts, codes, lens, nbins: int):
@@ -478,7 +508,8 @@ def encode_batch(blocks, blens, live, final_idx, level: int, phase0=0,
         pack = _default_pack()
     B = blocks.shape[0]
     phase0 = jnp.asarray(phase0, jnp.int32)
-    plans = jax.vmap(lambda b, l: block_plan(b, l, level))(blocks, blens)
+    plans = batch_plan(blocks, blens, level,
+                       trees="kernel" if pack == "kernel" else "xla")
     choice, pad, offset, bits = choose_blocks(
         plans["fixed_bits"], plans["dyn_bits"], blens, live, level, phase0)
     offset = offset - phase0            # segment-relative placement
@@ -518,16 +549,19 @@ def encode_batch(blocks, blens, live, final_idx, level: int, phase0=0,
 
 
 def encode_batch_with_offsets(blocks, blens, live, final_idx, level: int,
-                              phase0=0):
+                              phase0=0, pack: str | None = None):
     """encode_batch plus the per-block (offset, bits) vectors — one
     compiled program serves both the stream and its manifest (avoids the
     separate plan_sizes compile; VERDICT round-1 weak #10 analog for the
     bench)."""
+    if pack is None:
+        pack = _default_pack()
     words, total = encode_batch(blocks, blens, live, final_idx, level,
-                                phase0)
+                                phase0, pack=pack)
     # choose_blocks is deterministic given the same plans; recompute the
     # tiny scan outputs inside the same jit so XLA shares the plan work
-    plans = jax.vmap(lambda b, l: block_plan(b, l, level))(blocks, blens)
+    plans = batch_plan(blocks, blens, level,
+                       trees="kernel" if pack == "kernel" else "xla")
     choice, pad, offset, bits = choose_blocks(
         plans["fixed_bits"], plans["dyn_bits"], blens, live, level,
         jnp.asarray(phase0, jnp.int32))
@@ -546,7 +580,9 @@ def encode_blocks_multi(blocks, blens, live, finals, owner, level: int):
     stitch per stream.  Returns (words uint32 [B, WB], bits int32 [B]).
     """
     B = blocks.shape[0]
-    plans = jax.vmap(lambda b, l: block_plan(b, l, level))(blocks, blens)
+    plans = batch_plan(blocks, blens, level,
+                       trees="kernel" if _default_pack() == "kernel"
+                       else "xla")
 
     def step(carry, x):
         offset, prev_owner = carry
@@ -579,6 +615,6 @@ def encode_blocks_multi(blocks, blens, live, finals, owner, level: int):
 
 def plan_sizes(blocks, blens, live, level: int):
     """Size-only planning (no emission) — used by tests and stats."""
-    plans = jax.vmap(lambda b, l: block_plan(b, l, level))(blocks, blens)
+    plans = batch_plan(blocks, blens, level)
     return choose_blocks(plans["fixed_bits"], plans["dyn_bits"], blens, live,
                          level)

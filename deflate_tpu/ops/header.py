@@ -94,17 +94,31 @@ def rle_ops(litlen_lens: jax.Array, dist_lens: jax.Array):
     return sym, extra_val, extra_bits, hlit, hdist
 
 
+def header_pre(litlen_lens: jax.Array, dist_lens: jax.Array):
+    """Header stage 1: RLE ops + CL-alphabet histogram (per block)."""
+    sym, extra_val, extra_bits, hlit, hdist = rle_ops(litlen_lens, dist_lens)
+    cl_hist = jnp.zeros((NUM_CL,), jnp.int32).at[
+        jnp.clip(sym, 0, NUM_CL - 1)].add((sym >= 0).astype(jnp.int32))
+    return {"sym": sym, "extra_val": extra_val, "extra_bits": extra_bits,
+            "hlit": hlit, "hdist": hdist, "cl_hist": cl_hist}
+
+
 def emit_dynamic_header(litlen_lens: jax.Array, dist_lens: jax.Array):
     """Header field values/bit-lengths for one block (pack with pack_bits).
 
     Returns (vals int32 [HEADER_ENTRIES], lens int32 [HEADER_ENTRIES],
              total_bits int32).
     """
-    sym, extra_val, extra_bits, hlit, hdist = rle_ops(litlen_lens, dist_lens)
+    pre = header_pre(litlen_lens, dist_lens)
+    cl_lens = H.huffman_code_lengths(pre["cl_hist"], MAX_CL_CODE_LEN)
+    return header_post(pre, cl_lens)
 
-    cl_hist = jnp.zeros((NUM_CL,), jnp.int32).at[
-        jnp.clip(sym, 0, NUM_CL - 1)].add((sym >= 0).astype(jnp.int32))
-    cl_lens = H.huffman_code_lengths(cl_hist, MAX_CL_CODE_LEN)
+
+def header_post(pre, cl_lens):
+    """Header stage 2: transmit-order fields from the built CL tree."""
+    sym, extra_val, extra_bits = pre["sym"], pre["extra_val"], \
+        pre["extra_bits"]
+    hlit, hdist = pre["hlit"], pre["hdist"]
     cl_codes, _ = H.canonical_codes(cl_lens)
 
     order = jnp.asarray(CL_ORDER)

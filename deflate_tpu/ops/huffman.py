@@ -135,42 +135,125 @@ def huffman_code_lengths(freq: jax.Array, max_len: int) -> jax.Array:
     symbol -> that symbol gets length 1 (the reference instead throws and
     falls back to fixed blocks — SURVEY.md B2; we handle it properly).
     """
-    n = freq.shape[0]
-    INF = jnp.int32(1 << 28)
-    freq = freq.astype(jnp.int32)
-    nz = jnp.sum(freq > 0)
-    m = 2 * n
+    lw, sperm, nz = _sort_leaves(freq)
+    sorted_leaf_depth, idepth = _depths_two_queue(lw, nz)
+    return _finish_lengths(freq, max_len, nz, sperm, sorted_leaf_depth,
+                           idepth)
 
-    f = jnp.concatenate([jnp.where(freq > 0, freq, INF),
-                         jnp.full((n,), INF, jnp.int32)])
-    parent = jnp.full((m,), -1, jnp.int32)
+
+def huffman_lengths_batch(freqs: jax.Array, max_len: int,
+                          backend: str = "xla",
+                          interpret: bool = False) -> jax.Array:
+    """huffman_code_lengths over a batch [B, n].
+
+    backend "kernel" runs the merge loops on the TPU scalar core
+    (ops/pallas_tree.py, ~30x faster than the vmapped XLA loops whose
+    ~285 sequential steps each touch the whole batch); "xla" is the
+    reference path.  Identical outputs (same tie-breaks).
+    """
+    if backend == "kernel":
+        from deflate_tpu.ops import pallas_tree as PT
+
+        lw, sperm, nz = jax.vmap(_sort_leaves)(freqs)
+        sld, idep = PT.depths_batch(lw, nz, interpret=interpret)
+        return jax.vmap(
+            lambda f, z, p, s, i: _finish_lengths(f, max_len, z, p, s, i)
+        )(freqs, nz, sperm, sld, idep)
+    return jax.vmap(lambda f: huffman_code_lengths(f, max_len))(freqs)
+
+
+_INF = 1 << 28
+
+
+def _sort_leaves(freq):
+    """Sort leaves ascending by (frequency, symbol); unused -> INF tail.
+
+    Returns (lw sorted weights int32 [n], sperm symbol order int32 [n],
+    nz used-symbol count)."""
+    n = freq.shape[0]
+    idx0 = jnp.arange(n, dtype=jnp.int32)
+    wkey = jnp.where(freq > 0, freq, jnp.int32(_INF))
+    lw, sperm = jax.lax.sort([wkey, idx0], dimension=0, num_keys=2)
+    return lw, sperm, jnp.sum(freq > 0)
+
+
+def _depths_two_queue(lw, nz):
+    """Two-queue Huffman merge over PRE-SORTED leaf weights: internal
+    nodes are created with nondecreasing weights, so both queues stay
+    sorted and each merge step touches O(1) elements.  XLA reference
+    implementation of ops/pallas_tree.py (identical tie-breaks: prefer
+    the leaf queue on equal weights).
+
+    Returns (sorted_leaf_depth int32 [n] — depth of the i-th SORTED leaf,
+    valid for i < nz; idepth int32 [n] — internal node depths, valid for
+    k < nz - 1)."""
+    n = lw.shape[0]
+    INF = jnp.int32(_INF)
+
+    iw = jnp.full((n,), INF, jnp.int32)             # internal weights
+    lpar = jnp.zeros((n,), jnp.int32)               # leaf -> internal k
+    ipar = jnp.zeros((n,), jnp.int32)               # internal -> internal
+
+    def pick(st):
+        li, ii, lpar, ipar, iw, k = st
+        wl = jnp.where(li < n, lw[jnp.minimum(li, n - 1)], INF)
+        wi = iw[jnp.minimum(ii, n - 1)]
+        take_leaf = wl <= wi
+        w = jnp.where(take_leaf, wl, wi)
+        lpar = lpar.at[li].set(jnp.where(take_leaf & (w < INF), k,
+                                         lpar[li]), mode="drop")
+        ipar = ipar.at[ii].set(jnp.where(~take_leaf & (w < INF), k,
+                                         ipar[ii]), mode="drop")
+        li = li + jnp.where(take_leaf & (w < INF), 1, 0)
+        ii = ii + jnp.where(~take_leaf & (w < INF), 1, 0)
+        return (li, ii, lpar, ipar, iw, k), w
 
     def merge_body(k, st):
-        f, parent = st
-        i1 = jnp.argmin(f)
-        f1 = f[i1]
-        f_ = f.at[i1].set(INF)
-        i2 = jnp.argmin(f_)
-        f2 = f_[i2]
-        new = jnp.int32(n + k)
-        do = f2 < INF                     # at least two active nodes remain
-        parent = parent.at[i1].set(jnp.where(do, new, parent[i1]))
-        parent = parent.at[i2].set(jnp.where(do, new, parent[i2]))
-        f_new = f_.at[i2].set(INF).at[n + k].set(f1 + f2)
-        f = jnp.where(do, f_new, f)
-        return f, parent
+        li, ii, lpar, ipar, iw = st
+        st1, w1 = pick((li, ii, lpar, ipar, iw, k))
+        li, ii, lpar, ipar, iw, _ = st1
+        st2, w2 = pick((li, ii, lpar, ipar, iw, k))
+        li2, ii2, lpar2, ipar2, iw, _ = st2
+        do = w2 < INF                   # at least two active nodes remain
+        li = jnp.where(do, li2, li)
+        ii = jnp.where(do, ii2, ii)
+        lpar = jnp.where(do, lpar2, lpar)
+        ipar = jnp.where(do, ipar2, ipar)
+        iw = iw.at[k].set(jnp.where(do, w1 + w2, INF))
+        return li, ii, lpar, ipar, iw
 
-    _, parent = jax.lax.fori_loop(0, n - 1, merge_body, (f, parent))
+    li, ii, lpar, ipar, iw = jax.lax.fori_loop(
+        0, n - 1, merge_body,
+        (jnp.int32(0), jnp.int32(0), lpar, ipar, iw))
 
-    # depth by reverse sweep: parent[i] > i always, root keeps depth 0
-    def depth_body(j, depth):
-        i = m - 2 - j
-        p = parent[i]
-        d = jnp.where(p >= 0, depth[jnp.clip(p, 0, m - 1)] + 1, 0)
-        return depth.at[i].set(d)
+    # internal-node depths by reverse creation order (parents are always
+    # created later); then every leaf depth is one vectorized gather
+    nint = jnp.maximum(nz - 1, 1)                   # created internal nodes
 
-    depth = jax.lax.fori_loop(0, m - 1, depth_body, jnp.zeros((m,), jnp.int32))
-    leaf_depth = depth[:n]
+    def depth_body(j, idepth):
+        k = n - 2 - j
+        root = k == nint - 1
+        d = jnp.where(root, 0, idepth[jnp.clip(ipar[k], 0, n - 1)] + 1)
+        return idepth.at[k].set(jnp.where(k < nint, d, 0))
+
+    idepth = jax.lax.fori_loop(0, n - 1, depth_body,
+                               jnp.zeros((n,), jnp.int32))
+    sorted_leaf_depth = idepth[jnp.clip(lpar, 0, n - 1)] + 1
+    return sorted_leaf_depth, idepth
+
+
+def _finish_lengths(freq, max_len, nz, sperm, sorted_leaf_depth, idepth):
+    """Unpermute depths, apply zlib's overflow fixup, reassign lengths."""
+    n = freq.shape[0]
+    INF = jnp.int32(_INF)
+    nint = jnp.maximum(nz - 1, 1)
+    rank = jnp.arange(n, dtype=jnp.int32)
+    leaf_depth = jnp.zeros((n,), jnp.int32).at[sperm].set(
+        jnp.where(rank < nz, sorted_leaf_depth, 0))
+    depth = jnp.concatenate(
+        [leaf_depth,
+         jnp.where(jnp.arange(n, dtype=jnp.int32) < nint, idepth, 0)])
+    m = 2 * n
 
     # zlib-style overflow fixup on the length histogram.  overflow counts
     # ALL tree nodes (leaves AND internal) deeper than max_len — zlib's
