@@ -121,22 +121,10 @@ def main():
                       for i in range(NBLOCKS)])
         assert got == corpus, "device decode mismatch"
 
-        start_w = ((offs // 32) // 1024 * 1024).astype(np.int64)
-        start_tiles = jnp.asarray((start_w // 1024).astype(np.int32))
-        bit0 = jnp.asarray((offs - 32 * start_w).astype(np.int32))
-        nbits_s = len(encoded) * 8
-        avail = jnp.asarray(np.minimum(
-            nbits_s - 32 * start_w, (PI.IN_W - 3) * 32).astype(np.int32))
-        pad = (-len(encoded)) % 4
-        words = np.frombuffer(encoded + b"\x00" * pad,
-                              np.uint8).view(np.int32)
-        words = jnp.asarray(
-            np.concatenate([words, np.zeros(PI.IN_W, np.int32)]))
-        statics = jnp.asarray(PI.make_statics())
+        args, grid, _, _ = PI.prepare_blocks(encoded, offs)
 
         def dstep():
-            _, s = PI._inflate_blocks_jit(words, start_tiles, bit0, avail,
-                                          statics, grid=NBLOCKS // PI.K)
+            _, s = PI._inflate_blocks_jit(*args, grid=grid)
             return s
 
         _mark("timing device decode")
@@ -148,8 +136,8 @@ def main():
         int(np.asarray(s[0, 0]))
         ddt = (time.perf_counter() - t0) / 3
         device_decode_mbps = round(nbytes / ddt / 1e6, 1)
-    except Exception:
-        pass
+    except Exception as e:
+        _mark(f"device decode skipped: {type(e).__name__}: {e}")
     # secondary: L3 ("best") encode throughput on a 1 MiB slice
     encode_l3_mbps = ratio_l3 = None
     try:

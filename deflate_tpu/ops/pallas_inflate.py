@@ -637,16 +637,15 @@ def _kernel(starts_ref, bit0_ref, avail_ref,          # scalar prefetch
             outw[wi + 1] = (b & ~mb) | (vb & mb)
 
         def step(S):
-            """One fully branch-free iteration: either decode one symbol
-            (writing its first <=8 output bytes) or continue a pending
-            long copy by <=8 bytes — selected arithmetically via crem.
-            Optimized for body latency: entry format v2 packs class/base/
-            extra-bits into the table entries (no side lookups), a single
-            3-word funnel (peek48) feeds both the litlen and dist probes,
-            and the dist<4 pattern words derive from one funnel read.
-            Stores with data-dependent operands forbid cross-iteration
-            software pipelining (measured, mb_sym.py), so per-symbol cost
-            ~= this body's critical path; keep it short."""
+            """One iteration: decode one symbol (writing its first <=8
+            output bytes) or continue a pending long copy by <=8 bytes.
+            The litlen probe runs unconditionally (entry format v2 packs
+            class/base/extra-bits into the table entries); then a single
+            branch splits the dominant literal case (one-byte RMW,
+            ~45 ops) from the full match/copy/EOB machinery (~120 ops) —
+            text blocks are mostly literals, and cross-iteration software
+            pipelining never happened anyway (data-dependent stores,
+            mb_sym.py), so the branch is a straight win."""
             bitpos, opos, live, avail, tbase, crem, cdist = S
             act = live > 0
             copying = crem > 0
@@ -673,80 +672,106 @@ def _kernel(starts_ref, bit0_ref, avail_ref,          # scalar prefetch
             cls = srl(e, 17) & 3
             base = srl(e, 8) & 0x1FF
             eb = srl(e, 5) & 7
-            bad = (e < 0) | (cls == CLS_BAD)
             is_lit = cls == CLS_LIT
-            is_eob = cls == CLS_EOB
-            is_m = cls == CLS_LEN
-            length = jnp.where(
-                is_m, base + (srl(pk, nb) & ((i32(1) << eb) - 1)), i32(1))
+            lit_ok = (decoding & is_lit & (e >= 0)
+                      & (bitpos + nb <= avail) & (opos < OUT_BYTES))
 
-            # ---- dist probe from the same peek window ----
-            # clamp keeps both shift amounts in [1,31] even for garbage
-            # entries (which are flagged bad); valid k is 1..22
-            k = jnp.clip(nb + eb, i32(1), i32(24))
-            pk2 = srl(pk, k) | (pkh << (32 - k))
-            de = tabs[tbase + LT_SIZE + (pk2 & DT_MASK)]
-            sb_d = jnp.minimum(srl(de, 16) & 31, i32(9))
-            de2 = tabs[tbase + LT_SIZE + (de & 0x3FF)
-                       + (srl(pk2, DT_ROOT) & ((i32(1) << sb_d) - 1))]
-            dlink = de < 0
-            de = jnp.where(dlink, de2, de)
-            dnb = (de & 31) + jnp.where(dlink, i32(DT_ROOT), i32(0))
-            deb = srl(de, 5) & 15
-            dist = jnp.where(
-                is_m,
-                (srl(de, 9) & 0x7FFF)
-                + (srl(pk2, dnb) & ((i32(1) << deb) - 1)),
-                i32(1))
-            bp3 = bitpos + k + jnp.where(is_m, dnb + deb, i32(0))
-            bad = bad | (is_m & ((de < 0) | (deb == 15) | (dist > opos)))
-            bad = bad | (bp3 > avail)
-            bad = bad | (~is_eob & (opos + length > OUT_BYTES))
-            bad = decoding & bad
-            ok = decoding & ~bad
+            def fast_lit(cr):
+                bitpos, opos, live, crem, cdist = cr
+                wi = srl(opos, 2)
+                s8 = (opos & 3) * 8
+                outw[wi] = (outw[wi] & ~(0xFF << s8)) | (base << s8)
+                return bitpos + nb, opos + 1, live, crem, cdist
 
-            # ---- effective write action for this iteration ----
-            eff_len = jnp.where(copying, jnp.minimum(crem, i32(8)),
-                                jnp.minimum(length, i32(8)))
-            eff_dist = jnp.where(copying, cdist, dist)
-            do_w = copying | (ok & ~is_eob)
-            gate = -do_w.astype(i32)              # 0 or 0xFFFFFFFF
-            m0 = jnp.where(eff_len >= 4, i32(-1),
-                           (i32(1) << (8 * eff_len)) - 1)
-            m1 = jnp.where(eff_len <= 4, i32(0),
-                           jnp.where(eff_len >= 8, i32(-1),
-                                     (i32(1) << (8 * (eff_len - 4))) - 1))
-            # source word: funnel read at opos-dist; dist<4 patterns
-            # derive from its low bytes (bytes opos-dist..)
-            pb = jnp.maximum(opos - eff_dist, i32(0))
-            wsrc = funnel_out(pb)
-            bb = wsrc & 0xFF
-            rep1 = bb | (bb << 8) | (bb << 16) | (bb << 24)
-            hh = wsrc & 0xFFFF
-            patw = jnp.where(eff_dist == 1, rep1,
-                             jnp.where(eff_dist == 2, hh | (hh << 16),
-                                       (wsrc & 0xFFFFFF) | (bb << 24)))
-            use_lit = decoding & is_lit
-            w0 = jnp.where(use_lit, base,
-                           jnp.where(eff_dist < 4, patw, wsrc))
-            p0 = jnp.minimum(opos, i32(OUT_BYTES - 1))
-            wr_group(p0, w0, m0 & gate)
-            # second group: funnel read AFTER the first store (correct for
-            # 4<=dist<8 overlap); dist<4 uses the pattern word
-            w1f = funnel_out(jnp.maximum(opos + 4 - eff_dist, i32(0)))
-            w1 = jnp.where(eff_dist == 3, rot3(patw),
-                           jnp.where(eff_dist < 4, patw, w1f))
-            wr_group(p0 + 4, w1, m1 & gate)
+            def slow(cr):
+                bitpos, opos, live, crem, cdist = cr
+                bad = (e < 0) | (cls == CLS_BAD)
+                is_eob = cls == CLS_EOB
+                is_m = cls == CLS_LEN
+                length = jnp.where(
+                    is_m, base + (srl(pk, nb) & ((i32(1) << eb) - 1)),
+                    i32(1))
 
-            # ---- advance ----
-            opos = opos + jnp.where(do_w, eff_len, i32(0))
-            crem = jnp.where(copying, crem - eff_len,
-                             jnp.where(ok & is_m, length - eff_len,
-                                       i32(0)))
-            bitpos = jnp.where(ok, bp3, bitpos)
-            live = jnp.where(bad, i32(-1),
-                             jnp.where(ok & is_eob, i32(0), live))
-            return bitpos, opos, live, avail, tbase, crem, eff_dist
+                # ---- dist probe from the same peek window ----
+                # clamp keeps both shift amounts in [1,31] even for
+                # garbage entries (flagged bad); valid k is 1..22
+                k = jnp.clip(nb + eb, i32(1), i32(24))
+                pk2 = srl(pk, k) | (pkh << (32 - k))
+                de = tabs[tbase + LT_SIZE + (pk2 & DT_MASK)]
+                sb_d = jnp.minimum(srl(de, 16) & 31, i32(9))
+                de2 = tabs[tbase + LT_SIZE + (de & 0x3FF)
+                           + (srl(pk2, DT_ROOT) & ((i32(1) << sb_d) - 1))]
+                dlink = de < 0
+                de = jnp.where(dlink, de2, de)
+                dnb = (de & 31) + jnp.where(dlink, i32(DT_ROOT), i32(0))
+                deb = srl(de, 5) & 15
+                dist = jnp.where(
+                    is_m,
+                    (srl(de, 9) & 0x7FFF)
+                    + (srl(pk2, dnb) & ((i32(1) << deb) - 1)),
+                    i32(1))
+                bp3 = bitpos + k + jnp.where(is_m, dnb + deb, i32(0))
+                bad = bad | (is_m & ((de < 0) | (deb == 15)
+                                     | (dist > opos)))
+                bad = bad | (bp3 > avail)
+                bad = bad | (~is_eob & (opos + length > OUT_BYTES))
+                bad = decoding & bad
+                ok = decoding & ~bad
+
+                # ---- effective write action for this iteration ----
+                eff_len = jnp.where(copying, jnp.minimum(crem, i32(8)),
+                                    jnp.minimum(length, i32(8)))
+                eff_dist = jnp.where(copying, cdist, dist)
+                do_w = copying | (ok & ~is_eob)
+                gate = -do_w.astype(i32)          # 0 or 0xFFFFFFFF
+                m0 = jnp.where(eff_len >= 4, i32(-1),
+                               (i32(1) << (8 * eff_len)) - 1)
+                m1 = jnp.where(eff_len <= 4, i32(0),
+                               jnp.where(eff_len >= 8, i32(-1),
+                                         (i32(1) << (8 * (eff_len - 4)))
+                                         - 1))
+                # source word: funnel read at opos-dist; dist<4 patterns
+                # derive from its low bytes (bytes opos-dist..)
+                pb = jnp.maximum(opos - eff_dist, i32(0))
+                wsrc = funnel_out(pb)
+                bb = wsrc & 0xFF
+                rep1 = bb | (bb << 8) | (bb << 16) | (bb << 24)
+                hh = wsrc & 0xFFFF
+                patw = jnp.where(eff_dist == 1, rep1,
+                                 jnp.where(eff_dist == 2, hh | (hh << 16),
+                                           (wsrc & 0xFFFFFF) | (bb << 24)))
+                use_lit = decoding & is_lit
+                w0 = jnp.where(use_lit, base,
+                               jnp.where(eff_dist < 4, patw, wsrc))
+                p0 = jnp.minimum(opos, i32(OUT_BYTES - 1))
+                wr_group(p0, w0, m0 & gate)
+                # second group: funnel read AFTER the first store (correct
+                # for 4<=dist<8 overlap); dist<4 uses the pattern word
+                w1f = funnel_out(jnp.maximum(opos + 4 - eff_dist, i32(0)))
+                w1 = jnp.where(eff_dist == 3, rot3(patw),
+                               jnp.where(eff_dist < 4, patw, w1f))
+                wr_group(p0 + 4, w1, m1 & gate)
+
+                # ---- advance ----
+                opos = opos + jnp.where(do_w, eff_len, i32(0))
+                crem = jnp.where(copying, crem - eff_len,
+                                 jnp.where(ok & is_m, length - eff_len,
+                                           i32(0)))
+                bitpos = jnp.where(ok, bp3, bitpos)
+                live = jnp.where(bad, i32(-1),
+                                 jnp.where(ok & is_eob, i32(0), live))
+                return bitpos, opos, live, crem, eff_dist
+
+            def active(cr):
+                return jax.lax.cond(lit_ok, fast_lit, slow, cr)
+
+            # idle chains (done or errored) skip the whole body — without
+            # this, a finished chain costs a full slow-path body on every
+            # remaining iteration of its cell
+            bitpos, opos, live, crem, cdist = jax.lax.cond(
+                act | copying, active, lambda cr: cr,
+                (bitpos, opos, live, crem, cdist))
+            return bitpos, opos, live, avail, tbase, crem, cdist
 
         return step
 
@@ -836,14 +861,12 @@ def _inflate_blocks_jit(stream_words, starts_w, bit0, avail, statics,
     return out, status
 
 
-def inflate_blocks(stream: bytes, bit_offsets, nbits: int | None = None,
-                   interpret: bool = False):
-    """Decode B independent DEFLATE blocks of one stream on the device.
+def prepare_blocks(stream: bytes, bit_offsets, nbits: int | None = None):
+    """Host-side prep for the kernel: pad B to the chain multiple, bucket
+    blocks by compressed span, align DMA source offsets.
 
-    bit_offsets: absolute bit position of each block's BFINAL bit.
-    Returns (out uint8 [B, 32768], produced int32 [B], err int32 [B],
-    end_bit int64-ish int [B] absolute bit position after each block).
-    """
+    Returns (kernel_args tuple for _inflate_blocks_jit, grid, inv
+    permutation, start_w int32 [gridB] in PERMUTED order)."""
     if nbits is None:
         nbits = len(stream) * 8
     bit_offsets = np.asarray(bit_offsets, np.int64)
@@ -852,6 +875,18 @@ def inflate_blocks(stream: bytes, bit_offsets, nbits: int | None = None,
     # pad with repeats of block 0 (decoded and discarded)
     offs = np.concatenate(
         [bit_offsets, np.repeat(bit_offsets[:1], gridB - B)])
+
+    # bucket blocks by compressed span (a proxy for symbol count) so the
+    # K chains of a cell finish together — a cell runs until its LONGEST
+    # chain ends, and an 8:1 symbol-count mismatch would idle-spin the
+    # short chains' slots for most of the cell's iterations
+    sidx = np.argsort(offs, kind="stable")
+    spans = np.empty(gridB, np.int64)
+    sorted_offs = offs[sidx]
+    spans[sidx] = np.diff(np.append(sorted_offs, nbits))
+    order = np.argsort(-spans, kind="stable")
+    inv = np.argsort(order, kind="stable")
+    offs = offs[order]
     # DMA source offsets must be 1024-word aligned (Mosaic tiling);
     # passed to the kernel in units of 1024-word tiles
     start_w = ((offs // 32) // 1024 * 1024).astype(np.int32)
@@ -863,15 +898,29 @@ def inflate_blocks(stream: bytes, bit_offsets, nbits: int | None = None,
     pad = (-len(stream)) % 4
     words = np.frombuffer(stream + b"\x00" * pad, np.uint8).view(np.int32)
     words = np.concatenate([words, np.zeros(IN_W, np.int32)])
+    args = (jnp.asarray(words), jnp.asarray(start_tiles),
+            jnp.asarray(bit0), jnp.asarray(avail),
+            jnp.asarray(make_statics()))
+    return args, gridB // K, inv, start_w
 
-    out, status = _inflate_blocks_jit(
-        jnp.asarray(words), jnp.asarray(start_tiles), jnp.asarray(bit0),
-        jnp.asarray(avail), jnp.asarray(make_statics()),
-        grid=gridB // K, interpret=interpret)
-    out = np.asarray(out).reshape(gridB, OUT_W)[:B]
-    status = np.asarray(status).reshape(gridB, 4)[:B]
+
+def inflate_blocks(stream: bytes, bit_offsets, nbits: int | None = None,
+                   interpret: bool = False):
+    """Decode B independent DEFLATE blocks of one stream on the device.
+
+    bit_offsets: absolute bit position of each block's BFINAL bit.
+    Returns (out uint8 [B, 32768], produced int32 [B], err int32 [B],
+    end_bit int64-ish int [B] absolute bit position after each block).
+    """
+    B = len(bit_offsets)
+    args, grid, inv, start_w = prepare_blocks(stream, bit_offsets, nbits)
+    gridB = grid * K
+    out, status = _inflate_blocks_jit(*args, grid=grid,
+                                      interpret=interpret)
+    out = np.asarray(out).reshape(gridB, OUT_W)[inv][:B]
+    status = np.asarray(status).reshape(gridB, 4)[inv][:B]
     produced = status[:, 0]
     err = status[:, 1]
-    end_bit = (32 * start_w[:B].astype(np.int64)
+    end_bit = (32 * start_w[inv][:B].astype(np.int64)
                + status[:, 2].astype(np.int64))
     return out.view(np.uint8), produced, err, end_bit
