@@ -677,11 +677,38 @@ def _kernel(starts_ref, bit0_ref, avail_ref,          # scalar prefetch
                       & (bitpos + nb <= avail) & (opos < OUT_BYTES))
 
             def fast_lit(cr):
+                """1-2 literals per iteration: the 48-bit peek holds the
+                next code too (codes <= 15 bits), so a second literal
+                probe amortizes peek48 + loop overhead — text blocks are
+                literal runs."""
                 bitpos, opos, live, crem, cdist = cr
+                pk2l = srl(pk, nb) | (pkh << (32 - nb))
+                f = tabs[tbase + (pk2l & LT_MASK)]
+                sb2 = jnp.minimum(srl(f, 16) & 31, i32(6))
+                f2 = tabs[tbase + (f & 0x3FF)
+                          + (srl(pk2l, LT_ROOT) & ((i32(1) << sb2) - 1))]
+                flink = f < 0
+                f = jnp.where(flink, f2, f)
+                nb2 = (f & 31) + jnp.where(flink, i32(LT_ROOT), i32(0))
+                two = ((srl(f, 17) & 3) == CLS_LIT) & (f >= 0) \
+                    & (bitpos + nb + nb2 <= avail) \
+                    & (opos + 2 <= OUT_BYTES)
+                base2 = srl(f, 8) & 0x1FF
+
                 wi = srl(opos, 2)
                 s8 = (opos & 3) * 8
-                outw[wi] = (outw[wi] & ~(0xFF << s8)) | (base << s8)
-                return bitpos + nb, opos + 1, live, crem, cdist
+                ns8 = 32 - jnp.maximum(s8, 1)
+                val = base | jnp.where(two, base2 << 8, i32(0))
+                m = jnp.where(two, i32(0xFFFF), i32(0xFF))
+                a0 = outw[wi]
+                outw[wi] = (a0 & ~(m << s8)) | (val << s8)
+                spill_m = jnp.where(s8 == 0, i32(0), srl(m, ns8))
+                a1 = outw[wi + 1]
+                outw[wi + 1] = (a1 & ~spill_m) | \
+                    (jnp.where(s8 == 0, i32(0), srl(val, ns8)) & spill_m)
+                adv2 = two.astype(i32)
+                return (bitpos + nb + adv2 * nb2, opos + 1 + adv2,
+                        live, crem, cdist)
 
             def slow(cr):
                 bitpos, opos, live, crem, cdist = cr
