@@ -802,7 +802,164 @@ def _kernel(starts_ref, bit0_ref, avail_ref,          # scalar prefetch
 
         return step
 
-    steps = [make_step(j) for j in range(K)]
+    def make_step_bf(j):
+        """Branch-free variant of make_step: NO lax.cond anywhere — every
+        class (literal pair / match / copy continuation / EOB / error)
+        merges through selects into one pair of masked group writes.
+
+        Rationale: a cond is a real branch on the scalar core, and a
+        branch is a scheduling barrier — the K chains' dependent SMEM
+        loads can no longer interleave across it, so each chain pays its
+        full serial load latency (measured ~60 ns/literal with the
+        cond-tree).  The masked body executes more ops per iteration but
+        they pipeline across chains."""
+        outw = outws[j]
+        ib = j * IN_W
+
+        def funnel_out(p):
+            wi = srl(p, 2)
+            sh = (p & 3) * 8
+            a = outw[wi]
+            b = outw[wi + 1]
+            return jnp.where(sh == 0, a, srl(a, sh) | (b << (32 - sh)))
+
+        def wr_group(p, w, m):
+            wi = srl(p, 2)
+            sh = (p & 3) * 8
+            ma = m << sh
+            va = w << sh
+            mb = jnp.where(sh == 0, i32(0), srl(m, 32 - sh))
+            vb = jnp.where(sh == 0, i32(0), srl(w, 32 - sh))
+            a = outw[wi]
+            outw[wi] = (a & ~ma) | (va & ma)
+            b = outw[wi + 1]
+            outw[wi + 1] = (b & ~mb) | (vb & mb)
+
+        def step(S):
+            bitpos, opos, live, avail, tbase, crem, cdist = S
+            act = live > 0
+            copying = act & (crem > 0)
+            decoding = act & (crem == 0)
+
+            # ---- peek64: bits [bitpos, bitpos+64-sh) from 3 words ----
+            w = srl(bitpos, 5)
+            sh = bitpos & 31
+            a = inw[ib + w]
+            b = inw[ib + w + 1]
+            c = inw[ib + w + 2]
+            nsh = 32 - sh
+            pk = jnp.where(sh == 0, a, srl(a, sh) | (b << nsh))
+            pkh = jnp.where(sh == 0, b, srl(b, sh) | (c << nsh))
+
+            # ---- litlen probe (two-level, unconditional) ----
+            e = tabs[tbase + (pk & LT_MASK)]
+            sb_l = jnp.minimum(srl(e, 16) & 31, i32(6))
+            e2 = tabs[tbase + (e & 0x3FF)
+                      + (srl(pk, LT_ROOT) & ((i32(1) << sb_l) - 1))]
+            islink = e < 0
+            e = jnp.where(islink, e2, e)
+            nb = (e & 31) + jnp.where(islink, i32(LT_ROOT), i32(0))
+            cls = srl(e, 17) & 3
+            base = srl(e, 8) & 0x1FF
+            eb = srl(e, 5) & 7
+            bad0 = (e < 0) | (cls == CLS_BAD)
+            is_lit = (cls == CLS_LIT) & ~bad0
+            is_eob = (cls == CLS_EOB) & ~bad0
+            is_m = (cls == CLS_LEN) & ~bad0
+
+            # ---- second-literal probe (unconditional) ----
+            nbc = jnp.clip(nb, i32(1), i32(24))
+            pk2l = srl(pk, nbc) | (pkh << (32 - nbc))
+            f = tabs[tbase + (pk2l & LT_MASK)]
+            sb2 = jnp.minimum(srl(f, 16) & 31, i32(6))
+            f2 = tabs[tbase + (f & 0x3FF)
+                      + (srl(pk2l, LT_ROOT) & ((i32(1) << sb2) - 1))]
+            flink = f < 0
+            f = jnp.where(flink, f2, f)
+            nb2 = (f & 31) + jnp.where(flink, i32(LT_ROOT), i32(0))
+            lit2 = ((srl(f, 17) & 3) == CLS_LIT) & (f >= 0)
+            base2 = srl(f, 8) & 0x1FF
+
+            # ---- dist probe at k = nb + eb (unconditional) ----
+            length = base + (srl(pk, nbc) & ((i32(1) << eb) - 1))
+            k = jnp.clip(nb + eb, i32(1), i32(24))
+            pk3 = srl(pk, k) | (pkh << (32 - k))
+            de = tabs[tbase + LT_SIZE + (pk3 & DT_MASK)]
+            sb_d = jnp.minimum(srl(de, 16) & 31, i32(9))
+            de2 = tabs[tbase + LT_SIZE + (de & 0x3FF)
+                       + (srl(pk3, DT_ROOT) & ((i32(1) << sb_d) - 1))]
+            dlink = de < 0
+            de = jnp.where(dlink, de2, de)
+            dnb = (de & 31) + jnp.where(dlink, i32(DT_ROOT), i32(0))
+            deb = srl(de, 5) & 15
+            dnbc = jnp.clip(dnb, i32(0), i32(24))
+            dist = (srl(de, 9) & 0x7FFF) + (srl(pk3, dnbc)
+                                            & ((i32(1) << deb) - 1))
+
+            # ---- classify: every decoding iteration is exactly one of
+            # lit1 / mt_ok / eob_ok / bad ----
+            lit1 = (decoding & is_lit & (bitpos + nb <= avail)
+                    & (opos < OUT_BYTES))
+            two = (lit1 & lit2 & (bitpos + nb + nb2 <= avail)
+                   & (opos + 2 <= OUT_BYTES))
+            bp_m = bitpos + k + dnb + deb
+            mt_ok = (decoding & is_m & (de >= 0) & (deb != 15)
+                     & (dist <= opos) & (bp_m <= avail)
+                     & (opos + length <= OUT_BYTES))
+            eob_ok = decoding & is_eob & (bitpos + nb <= avail)
+            bad = decoding & ~(lit1 | mt_ok | eob_ok)
+
+            # ---- unified write: one or two masked 4-byte groups ----
+            eff_len = jnp.where(copying, jnp.minimum(crem, i32(8)),
+                      jnp.where(mt_ok, jnp.minimum(length, i32(8)),
+                      jnp.where(lit1, 1 + two.astype(i32), i32(0))))
+            eff_dist = jnp.where(copying, cdist, dist)
+            do_w = copying | mt_ok | lit1
+            gate = -do_w.astype(i32)
+            is_cp = copying | mt_ok
+            gate_cp = -is_cp.astype(i32)
+
+            m0 = jnp.where(eff_len >= 4, i32(-1),
+                           (i32(1) << (8 * eff_len)) - 1)
+            m1 = jnp.where(eff_len <= 4, i32(0),
+                           jnp.where(eff_len >= 8, i32(-1),
+                                     (i32(1) << (8 * (eff_len - 4))) - 1))
+            pb = jnp.maximum(opos - eff_dist, i32(0))
+            wsrc = funnel_out(pb)
+            bb = wsrc & 0xFF
+            rep1 = bb | (bb << 8) | (bb << 16) | (bb << 24)
+            hh = wsrc & 0xFFFF
+            patw = jnp.where(eff_dist == 1, rep1,
+                             jnp.where(eff_dist == 2, hh | (hh << 16),
+                                       (wsrc & 0xFFFFFF) | (bb << 24)))
+            litw = base | (base2 << 8)
+            w0 = jnp.where(lit1, litw,
+                           jnp.where(eff_dist < 4, patw, wsrc))
+            p0 = jnp.minimum(opos, i32(OUT_BYTES - 1))
+            wr_group(p0, w0, m0 & gate)
+            # second group: source read AFTER the first store (correct
+            # for 4<=dist<8 overlap); dist<4 uses the pattern word
+            w1f = funnel_out(jnp.maximum(opos + 4 - eff_dist, i32(0)))
+            w1 = jnp.where(eff_dist == 3, rot3(patw),
+                           jnp.where(eff_dist < 4, patw, w1f))
+            wr_group(p0 + 4, w1, m1 & gate_cp)
+
+            # ---- advance ----
+            adv_bits = jnp.where(lit1, nb + two.astype(i32) * nb2,
+                       jnp.where(mt_ok, k + dnb + deb,
+                       jnp.where(eob_ok, nb, i32(0))))
+            bitpos = bitpos + adv_bits
+            opos = opos + jnp.where(do_w, eff_len, i32(0))
+            crem = jnp.where(copying, crem - eff_len,
+                             jnp.where(mt_ok, length - eff_len, i32(0)))
+            live = jnp.where(bad, i32(-1),
+                             jnp.where(eob_ok, i32(0), live))
+            return bitpos, opos, live, avail, tbase, crem, eff_dist
+
+        return step
+
+    _BF = bool(int(os.environ.get("PI_BF", "0")))
+    steps = [(make_step_bf if _BF else make_step)(j) for j in range(K)]
 
     def chain_init(j):
         sb = j * STATE_W
@@ -822,7 +979,7 @@ def _kernel(starts_ref, bit0_ref, avail_ref,          # scalar prefetch
         return any_live & (it < MAX_ACTIONS)
 
     init = (i32(0), tuple(chain_init(j) for j in range(K)))
-    _, chains = jax.lax.while_loop(loop_cond, loop_body, init)
+    it_fin, chains = jax.lax.while_loop(loop_cond, loop_body, init)
 
     for j in range(K):
         bitpos, opos, live = chains[j][0], chains[j][1], chains[j][2]
@@ -831,7 +988,10 @@ def _kernel(starts_ref, bit0_ref, avail_ref,          # scalar prefetch
         status_ref[g, 4 * j + 0] = opos
         status_ref[g, 4 * j + 1] = err
         status_ref[g, 4 * j + 2] = bitpos
-        status_ref[g, 4 * j + 3] = live
+        # live for the caller; the cell's iteration count for profiling
+        # (experiments/r2_decode_prof.py) — live is 0/-1 here, so pack
+        # both: low bit flags error, upper bits carry the count
+        status_ref[g, 4 * j + 3] = (it_fin << 1) | (live != 0).astype(i32)
     cps_out = []
     for j in range(K):
         cp = pltpu.make_async_copy(
