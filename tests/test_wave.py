@@ -1,0 +1,202 @@
+"""Wavefront decoder (ops/wave.py): primitive + stage differential tests.
+
+Oracles: python zlib (foreign correctness), host_inflate (token-level
+walk), and pure-numpy reimplementations of the routing primitive.
+"""
+import zlib
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from deflate_tpu.ops import wave as W
+
+
+def test_popcount_select_bit32():
+    rng = np.random.default_rng(0)
+    m = rng.integers(0, 1 << 32, 256, dtype=np.uint64).astype(np.uint32)
+    mj = jnp.asarray(m.view(np.int32))
+    pc = np.asarray(W.popcount32(mj))
+    assert (pc == [bin(int(x)).count("1") for x in m]).all()
+    # j-th set bit
+    js, ms = [], []
+    for x in m:
+        bits = [i for i in range(32) if (int(x) >> i) & 1]
+        if not bits:
+            continue
+        j = int(rng.integers(0, len(bits)))
+        ms.append(np.int64(x))
+        js.append((j, bits[j]))
+    got = np.asarray(W.select_bit32(
+        jnp.asarray(np.asarray(ms, np.uint64).astype(np.uint32)
+                    .view(np.int32)),
+        jnp.asarray(np.asarray([j for j, _ in js], np.int32))))
+    assert (got == [b for _, b in js]).all()
+
+
+def _route_oracle(vals, delta, left):
+    """numpy reference: stable move of occupied slots by delta."""
+    n = len(delta)
+    out_v = np.full(n, -1, np.int64)
+    out_d = np.full(n, -1, np.int64)
+    for i in range(n):
+        if delta[i] >= 0:
+            j = i - delta[i] if left else i + delta[i]
+            out_v[j] = vals[i]
+            out_d[j] = 0
+    return out_v, out_d
+
+
+@pytest.mark.parametrize("left", [True, False])
+def test_route_monotone(left):
+    rng = np.random.default_rng(1)
+    n = 1024
+    for trial in range(8):
+        # random monotone routing instance: pick occupied slots and
+        # strictly-increasing destinations with non-decreasing delta
+        occ = np.sort(rng.choice(n, size=rng.integers(1, 200),
+                                 replace=False))
+        if left:
+            # compaction: j-th occupied slot routes to slot j (the
+            # stage-D use case); delta = occ - j is non-decreasing
+            dest = np.arange(len(occ))
+            delta_occ = occ - dest
+        else:
+            dest = occ.copy()
+            extra = np.sort(rng.integers(0, 4, len(occ)).cumsum())
+            dest = occ + extra
+            keep = dest < n
+            occ, dest = occ[keep], dest[keep]
+            delta_occ = dest - occ
+        delta = np.full(n, -1, np.int64)
+        vals = np.full(n, -1, np.int64)
+        delta[occ] = delta_occ
+        vals[occ] = rng.integers(0, 1 << 20, len(occ))
+        fn = W.route_monotone_left if left else W.route_monotone_right
+        (gv,), gd = fn([jnp.asarray(vals, jnp.int32)],
+                       jnp.asarray(delta, jnp.int32), 11)
+        ev, ed = _route_oracle(vals, delta, left)
+        landed = ed == 0
+        assert (np.asarray(gd) == 0)[landed].all()
+        assert (np.asarray(gv)[landed] == ev[landed]).all()
+
+
+def _encode_own(data, level=2):
+    """Encode with the package encoder (self-contained blocks) on CPU."""
+    import deflate_tpu
+    from deflate_tpu.models import encoder as E
+    from deflate_tpu.runtime import stitch as S
+    from deflate_tpu.utils.tables import BLOCK_SIZE
+
+    import jax
+
+    buf = np.frombuffer(data, np.uint8)
+    nb = max(1, -(-len(buf) // BLOCK_SIZE))
+    pad = nb * BLOCK_SIZE - len(buf)
+    blocks = jnp.asarray(np.pad(buf, (0, pad)).reshape(nb, BLOCK_SIZE))
+    lens = np.full(nb, BLOCK_SIZE, np.int32)
+    if pad:
+        lens[-1] = len(buf) - (nb - 1) * BLOCK_SIZE
+    w, t, off, bits = jax.jit(
+        E.encode_batch_with_offsets, static_argnums=(4,))(
+        blocks, jnp.asarray(lens), jnp.ones(nb, bool),
+        np.int32(nb - 1), level, 0)
+    stream = S.words_to_bytes(np.asarray(w), int(t))
+    assert zlib.decompress(stream, -15) == data
+    return stream, np.asarray(off, np.int64)
+
+
+def _token_oracle(stream, md, b, pos_local):
+    """Decode one speculative token at block-local position (python)."""
+    nbits = 8 * len(stream)
+
+    def peek(p, n):
+        p = int(md["data_start"][b]) + p
+        if p >= nbits:
+            return 0
+        acc = int.from_bytes(
+            stream[p >> 3:(p >> 3) + 8], "little") >> (p & 7)
+        return acc & ((1 << n) - 1)
+
+    def canon(p, lim, first):
+        c = 0
+        for l in range(1, 16):
+            c = (c << 1) | ((peek(p, 15) >> (l - 1)) & 1)
+            if c < int(np.uint32(lim[l])):
+                return l, c - int(np.uint32(first[l]))
+        return 0, 0
+
+    l, r = canon(pos_local, md["l_lim"][b], md["l_first"][b])
+    if l == 0:
+        return ("invalid",)
+    meta = int(np.uint32(md["l_meta"][b][l]))
+    nlit, has_eob = meta & 0x1FF, (meta >> 9) & 1
+    if r < nlit:
+        # literal value: r-th set bit of the 256-bit mask
+        mask = 0
+        for q in range(8):
+            mask |= int(np.uint32(md["l_litmask"][b][l][q])) << (32 * q)
+        bits = [i for i in range(256) if (mask >> i) & 1]
+        return ("lit", 1 + 0 * l, bits[r], l)
+    if has_eob and r == nlit:
+        return ("eob", l)
+    j = r - nlit - has_eob
+    lmask = int(np.uint32(md["l_mask"][b][l]))
+    bits = [i for i in range(29) if (lmask >> i) & 1]
+    if j >= len(bits):
+        return ("invalid",)
+    li = bits[j]
+    eb = 0 if (li < 8 or li == 28) else (li - 4) >> 2
+    base = (3 + li if li < 8 else
+            258 if li == 28 else 3 + ((4 + (li & 3)) << ((li - 4) >> 2)))
+    length = base + peek(pos_local + l, 5) % (1 << eb) if eb else base
+    q = pos_local + l + eb
+    dl, dr = canon(q, md["d_lim"][b], md["d_first"][b])
+    if dl == 0:
+        return ("invalid",)
+    dmask = int(np.uint32(md["d_mask"][b][dl]))
+    dbits = [i for i in range(30) if (dmask >> i) & 1]
+    if dr >= len(dbits):
+        return ("invalid",)
+    ds = dbits[dr]
+    deb = 0 if ds < 4 else (ds >> 1) - 1
+    dbase = 1 + ds if ds < 4 else 1 + ((2 + (ds & 1)) << ((ds >> 1) - 1))
+    dist = dbase + (peek(q + dl, 13) & ((1 << deb) - 1))
+    adv = l + eb + dl + deb
+    return ("match", adv, length, dist)
+
+
+def test_stage_a_differential():
+    rng = np.random.default_rng(2)
+    data = (rng.integers(97, 123, 40000, dtype=np.uint8).tobytes()
+            + np.tile(rng.integers(0, 256, 97, dtype=np.uint8),
+                      200).tobytes())
+    stream, offs = _encode_own(data)
+    md = W.parse_headers_host(stream, offs)
+    W64 = 1024
+    nwords = W.prepare_windows(stream, md["data_start"], W64)
+    mdj = {k: jnp.asarray(v) for k, v in md.items()
+           if k.startswith(("l_", "d_"))}
+    pos = W.decode_positions(jnp.asarray(nwords), mdj, W64)
+    adv = np.asarray(pos["advance"])
+    emit = np.asarray(pos["emit"])
+    P1 = np.asarray(pos["P1"])
+    inv = np.asarray(pos["invalid"])
+    B = len(offs)
+    for b in range(B):
+        for p in rng.integers(0, 40000, 40):
+            p = int(p)
+            w, ph = p >> 6, p & 63
+            tok = _token_oracle(stream, md, b, p)
+            if tok[0] == "invalid":
+                assert inv[b, ph, w], (b, p, tok)
+            elif tok[0] == "lit":
+                assert not inv[b, ph, w]
+                assert emit[b, ph, w] == 1, (b, p, tok)
+                assert adv[b, ph, w] == tok[3]
+            elif tok[0] == "match":
+                assert not inv[b, ph, w]
+                assert adv[b, ph, w] == tok[1], (b, p, tok)
+                assert emit[b, ph, w] == tok[2], (b, p, tok)
+                assert P1[b, ph, w] == tok[3], (b, p, tok)
