@@ -200,3 +200,79 @@ def test_stage_a_differential():
                 assert adv[b, ph, w] == tok[1], (b, p, tok)
                 assert emit[b, ph, w] == tok[2], (b, p, tok)
                 assert P1[b, ph, w] == tok[3], (b, p, tok)
+
+
+def _fill_matches_host(litwords, rec0, rec1, nmatch):
+    """Host reference of stage G: fill match bytes into literal-placed
+    output (mirrors ops/wave_fill.py)."""
+    B = litwords.shape[0]
+    out = litwords.view(np.uint8).reshape(B, -1).copy()
+    for b in range(B):
+        for m in range(int(nmatch[b])):
+            r0, d = int(rec0[b, m]), int(rec1[b, m])
+            o, ln = r0 & 0xFFFF, ((r0 >> 16) & 255) + 3
+            for j in range(ln):
+                out[b, o + j] = out[b, o - d + j]
+    return out
+
+
+def test_wave_decode_end_to_end():
+    rng = np.random.default_rng(3)
+    segs = [rng.integers(97, 123, 50000, dtype=np.uint8).tobytes(),
+            np.tile(rng.integers(0, 256, 97, dtype=np.uint8),
+                    400).tobytes(),
+            rng.integers(0, 256, 20000, dtype=np.uint8).tobytes(),
+            b"a" * 40000]
+    data = b"".join(segs)
+    stream, offs = _encode_own(data)
+    md = W.parse_headers_host(stream, offs)
+    hints, span = W.hints_from_walk_host(stream, offs)
+    W64 = int(-(-int(span.max()) // 64 // 128) * 128)
+    assert span.max() <= 64 * W64
+    nwords = W.prepare_windows(stream, md["data_start"], W64)
+    mdj = {k: jnp.asarray(v) for k, v in md.items()
+           if k.startswith(("l_", "d_"))}
+    from deflate_tpu.utils.tables import BLOCK_SIZE
+    B = len(offs)
+    exp = np.full(B, BLOCK_SIZE, np.int64)
+    exp[-1] = len(data) - (B - 1) * BLOCK_SIZE
+    litwords, rec0, rec1, nmatch, produced, err = W.wave_decode(
+        jnp.asarray(nwords), jnp.asarray(hints[:, :W64], np.int32),
+        jnp.asarray(exp, np.int32), mdj, W64)
+    err = np.asarray(err)
+    produced = np.asarray(produced)
+    assert not err.any(), err
+    assert (produced == exp).all(), (produced, exp)
+    out = _fill_matches_host(np.asarray(litwords), np.asarray(rec0),
+                             np.asarray(rec1), np.asarray(nmatch))
+    got = b"".join(out[b, :exp[b]].tobytes() for b in range(B))
+    # align diagnostics
+    if got != data:
+        ref = np.frombuffer(data, np.uint8)
+        g = np.frombuffer(got, np.uint8)
+        bad = np.nonzero(ref != g[:len(ref)])[0]
+        raise AssertionError(f"mismatch at {bad[:10]} of {len(bad)}")
+    assert got == data
+
+
+def test_wave_decode_detects_corruption():
+    rng = np.random.default_rng(4)
+    data = rng.integers(97, 123, 80000, dtype=np.uint8).tobytes()
+    stream, offs = _encode_own(data)
+    md = W.parse_headers_host(stream, offs)
+    hints, span = W.hints_from_walk_host(stream, offs)
+    W64 = 1024
+    from deflate_tpu.utils.tables import BLOCK_SIZE
+    B = len(offs)
+    exp = np.full(B, BLOCK_SIZE, np.int64)
+    exp[-1] = len(data) - (B - 1) * BLOCK_SIZE
+    mdj = {k: jnp.asarray(v) for k, v in md.items()
+           if k.startswith(("l_", "d_"))}
+    # corrupt a byte mid-body of block 0
+    bad = bytearray(stream)
+    bad[int(md["data_start"][0] // 8) + 600] ^= 0x5A
+    nwords = W.prepare_windows(bytes(bad), md["data_start"], W64)
+    *_, err = W.wave_decode(
+        jnp.asarray(nwords), jnp.asarray(hints[:, :W64], np.int32),
+        jnp.asarray(exp, np.int32), mdj, W64)
+    assert np.asarray(err)[0], "corruption must surface in err flag"
