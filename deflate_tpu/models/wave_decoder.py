@@ -1,0 +1,101 @@
+"""Wavefront device decoder — batch driver for ops/wave.py.
+
+Decodes B independent self-contained DEFLATE blocks (the encoder's
+quirk-Q5 streams, reference deflate.hpp:697) on the TPU's vector units,
+using per-chunk entry-phase hints carried by the manifest (or derived by
+a host walk for hintless self-contained streams).
+
+Responsibilities here: header parse (host), span bucketing (one compile
+per bucket size, mirroring ops/pallas_inflate.prepare_blocks), stored
+blocks (pure window copy — no wavefront needed), the stage-G match-fill
+kernel, and reassembly to original block order.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from deflate_tpu.ops import wave as W
+from deflate_tpu.ops import wave_fill as WF
+
+BUCKETS = (512, 1024, 2048, 4224)      # W64 sizes (span/64, lane-aligned)
+
+
+def inflate_wave_device(stream: bytes, bit_offsets, out_sizes,
+                        hints=None, interpret: bool = False):
+    """Decode blocks on device; returns (words [B, 8192] jnp.int32 in
+    original block order, produced np[B], err np[B]).
+
+    bit_offsets: absolute bit of each block's BFINAL bit (manifest).
+    out_sizes:   expected decoded size per block (manifest).
+    hints:       [B, >=W64] uint8 per-chunk entry phases (manifest v2);
+                 derived by a host walk when absent.
+    """
+    bit_offsets = np.asarray(bit_offsets, np.int64)
+    out_sizes = np.asarray(out_sizes, np.int64)
+    B = len(bit_offsets)
+    md = W.parse_headers_host(stream, bit_offsets)
+    if hints is None:
+        hints, _ = W.hints_from_walk_host(stream, bit_offsets)
+    hints = np.asarray(hints, np.uint8)
+
+    # span upper bound from the next block's offset (blocks are dense)
+    next_off = np.append(bit_offsets[1:], 8 * len(stream))
+    span = np.maximum(next_off - md["data_start"], 0)
+
+    words = jnp.zeros((B, WF.OW), jnp.int32)
+    produced = np.zeros(B, np.int64)
+    err = np.asarray(md["hdr_err"]).astype(np.int64).copy()
+
+    is_stored = md["btype"] == 0
+    order_out = []
+
+    # ---- stored blocks: the window IS the payload (byte-aligned) -----
+    sidx = np.nonzero(is_stored & ~md["hdr_err"])[0]
+    if len(sidx):
+        nw = W.prepare_windows(stream, md["data_start"][sidx], 4096)
+        words = words.at[sidx].set(jnp.asarray(nw[:, :WF.OW]))
+        produced[sidx] = md["stored_len"][sidx]
+        err[sidx] |= (md["stored_len"][sidx] != out_sizes[sidx])
+
+    # ---- huffman blocks, bucketed by span ----------------------------
+    hidx_all = np.nonzero(~is_stored & ~md["hdr_err"])[0]
+    overflow = span[hidx_all] > 64 * BUCKETS[-1]
+    err[hidx_all[overflow]] = 1
+    hidx_all = hidx_all[~overflow]
+    need = -(-span[hidx_all] // 64)
+    for W64 in BUCKETS:
+        sel = hidx_all[(need <= W64)
+                       & (need > (BUCKETS[BUCKETS.index(W64) - 1]
+                                  if W64 != BUCKETS[0] else 0))]
+        if not len(sel):
+            continue
+        nw = W.prepare_windows(stream, md["data_start"][sel], W64)
+        hsel = np.full((len(sel), W64), W.HINT_NONE, np.uint8)
+        hav = min(W64, hints.shape[1])
+        hsel[:, :hav] = hints[sel][:, :hav]
+        mdj = {k: jnp.asarray(v[sel]) for k, v in md.items()
+               if k.startswith(("l_", "d_"))}
+        litwords, rec0, rec1, nmatch, prod, e = W.wave_decode(
+            jnp.asarray(nw), jnp.asarray(hsel, jnp.int32),
+            jnp.asarray(out_sizes[sel], jnp.int32), mdj, W64)
+        recs = jnp.stack([rec0, rec1], axis=2).reshape(len(sel), 2 * W.NM)
+        filled = WF.fill_matches(litwords, recs, nmatch, len(sel),
+                                 interpret=interpret)
+        words = words.at[sel].set(filled)
+        produced[sel] = np.asarray(prod)
+        err[sel] |= np.asarray(e).astype(np.int64)
+        order_out.append((sel, W64))
+
+    return words, produced, err
+
+
+def inflate_wave(stream: bytes, bit_offsets, out_sizes, hints=None,
+                 interpret: bool = False) -> tuple[bytes, np.ndarray]:
+    """Host-assembled convenience wrapper; returns (bytes, err[B])."""
+    words, produced, err = inflate_wave_device(
+        stream, bit_offsets, out_sizes, hints, interpret)
+    w = np.asarray(words).view(np.uint8).reshape(len(produced), -1)
+    out = b"".join(w[b, :produced[b]].tobytes()
+                   for b in range(len(produced)))
+    return out, err

@@ -62,7 +62,8 @@ HINT_NONE = 255          # hint sentinel: no symbol starts in this chunk
 MAXSYM_BITS = 48         # 15 (litlen) + 5 (len extra) + 15 (dist) + 13
 NS = 32768 + 128         # symbol-domain slots per block (<=32768 emitters)
 ND = 32768               # output bytes per block
-NM = 11008               # match-record slots (<= 32768/3 + 1, padded)
+NM = 11264               # match-record slots (>= 32768/3 + 1; 11*1024 for
+                         # 1024-word-aligned DMA windows in wave_fill)
 
 
 # ====================== host-side metadata ================================

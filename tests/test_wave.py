@@ -276,3 +276,22 @@ def test_wave_decode_detects_corruption():
         jnp.asarray(nwords), jnp.asarray(hints[:, :W64], np.int32),
         jnp.asarray(exp, np.int32), mdj, W64)
     assert np.asarray(err)[0], "corruption must surface in err flag"
+
+
+def test_wave_decoder_model_interpret():
+    """Full model driver: huffman + stored blocks, fill kernel in
+    interpret mode, reassembly in original order."""
+    from deflate_tpu.models import wave_decoder as WD
+    from deflate_tpu.utils.tables import BLOCK_SIZE
+
+    rng = np.random.default_rng(5)
+    data = (b"the quick brown fox jumps over the lazy dog. " * 1200
+            + b"a" * 9000
+            + rng.integers(0, 256, 5000, dtype=np.uint8).tobytes())
+    stream, offs = _encode_own(data)
+    B = len(offs)
+    exp = np.full(B, BLOCK_SIZE, np.int64)
+    exp[-1] = len(data) - (B - 1) * BLOCK_SIZE
+    got, err = WD.inflate_wave(stream, offs, exp, interpret=True)
+    assert not err.any(), err
+    assert got == data
