@@ -618,3 +618,60 @@ def plan_sizes(blocks, blens, live, level: int):
     plans = batch_plan(blocks, blens, level)
     return choose_blocks(plans["fixed_bits"], plans["dyn_bits"], blens, live,
                          level)
+
+
+def block_hints(sh, stored, W64cap: int = 4224):
+    """Per-64-bit-chunk entry phases for the wavefront decoder
+    (ops/wave.py): hint[w] = data-relative bit phase of the first
+    symbol starting in chunk w, HINT_NONE past the EOB.
+
+    Derived from the emit plan for free: token bit offsets are already
+    the emit prefix sums; the per-chunk first token is recovered with
+    one flag+compaction (route_monotone_left) — no gathers/scatters.
+    Every chunk in [0, eob_chunk] contains a symbol start because a
+    DEFLATE symbol is at most 48 < 64 bits.
+    """
+    from deflate_tpu.ops.wave import HINT_NONE, route_monotone_left
+
+    tok_off = jnp.cumsum(sh) - sh
+    eob_off = tok_off[-1] + sh[-1]
+    offs = jnp.concatenate([tok_off, eob_off[None]])
+    n = offs.shape[0]
+    chunk = (offs >> 6).astype(jnp.int32)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), chunk[:-1]])
+    flag = chunk != prev
+    rank = jnp.cumsum(flag.astype(jnp.int32)) - flag.astype(jnp.int32)
+    lane = jnp.arange(n, dtype=jnp.int32)
+    delta = jnp.where(flag, lane - rank, -1)
+    (ph,), dout = route_monotone_left(
+        [(offs & 63).astype(jnp.int32)], delta, int(n - 1).bit_length())
+    hints = jnp.where(dout[:W64cap] == 0, ph[:W64cap], HINT_NONE)
+    return jnp.where(stored, jnp.full((W64cap,), HINT_NONE, jnp.int32),
+                     hints.astype(jnp.int32))
+
+
+def encode_batch_with_hints(blocks, blens, live, final_idx, level: int,
+                            phase0=0, pack: str | None = None):
+    """encode_batch_with_offsets plus per-block wavefront decode hints
+    (manifest v2).  The extra plan/emit recomputation CSEs inside the
+    same jit, as in encode_batch_with_offsets."""
+    if pack is None:
+        pack = _default_pack()
+    words, total, offset, bits = encode_batch_with_offsets(
+        blocks, blens, live, final_idx, level, phase0, pack=pack)
+    B = blocks.shape[0]
+    plans = batch_plan(blocks, blens, level,
+                       trees="kernel" if pack == "kernel" else "xla")
+    choice, pad, _, _ = choose_blocks(
+        plans["fixed_bits"], plans["dyn_bits"], blens, live, level,
+        jnp.asarray(phase0, jnp.int32))
+    bfinal = jnp.arange(B) == final_idx
+
+    def one(bl, ln, i, ch, pd, bf):
+        f = _emit_fields(bl, ln, jax.tree.map(lambda x: x[i], plans),
+                         ch, pd, bf)
+        return block_hints(f["sh"], f["stored"])
+
+    hints = jax.vmap(one)(blocks, blens, jnp.arange(B), choice, pad,
+                          bfinal)
+    return words, total, offset, bits, hints

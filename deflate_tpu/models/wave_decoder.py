@@ -18,7 +18,8 @@ import numpy as np
 from deflate_tpu.ops import wave as W
 from deflate_tpu.ops import wave_fill as WF
 
-BUCKETS = (512, 1024, 2048, 4224)      # W64 sizes (span/64, lane-aligned)
+BUCKETS = (512, 1024, 1536, 2048, 2560, 3072, 3584, 4224)   # W64 sizes
+# (span/64, lane-aligned; fine steps — stage cost scales with the bucket)
 
 
 def inflate_wave_device(stream: bytes, bit_offsets, out_sizes,

@@ -399,10 +399,12 @@ def _canon_decode(PK, lim, first, base_unused, extras):
 def decode_positions(nwords, md, W64: int):
     """Stage A: the full speculative token decode at every bit position.
 
-    Returns dict of [B, 64, W64] arrays: advance (1..48), emit (0/1/len),
-    stop (EOB or invalid), invalid, is_eob, and packed payloads
-    P0 = class(2) | len(4)<<2 | r_rel(9)<<6 | (length-3)(8)<<15,
-    P1 = dist(15).  class: 0=lit 1=match 2=EOB 3=invalid.
+    Returns two packed [B, 64, W64] int32 arrays (narrow outputs keep
+    the pipeline HBM-bandwidth-lean — the measured bottleneck):
+      A0 = advance(6) | emit(9)<<6 | class(2)<<15 | X(9)<<17 | len(4)<<26
+           where X = r_rel for literals (value resolve) and length-3
+           for matches; class: 0=lit 1=match 2=EOB 3=invalid.
+      P1 = dist(15).
     """
     PK, PKH = build_peeks(nwords, W64)
 
@@ -447,11 +449,9 @@ def decode_positions(nwords, md, W64: int):
 
     cls = jnp.where(invalid, 3,
                     jnp.where(is_eob, 2, jnp.where(is_m, 1, 0)))
-    P0 = (cls | (len_ << 2) | (r_rel << 6)
-          | (jnp.clip(length - 3, 0, 255) << 15))
-    P1 = dist
-    return {"advance": advance, "emit": emit, "invalid": invalid,
-            "is_eob": is_eob, "is_m": is_m, "P0": P0, "P1": P1}
+    X = jnp.where(is_m, jnp.clip(length - 3, 0, 255), r_rel)
+    A0 = (advance | (emit << 6) | (cls << 15) | (X << 17) | (len_ << 26))
+    return A0, dist
 
 
 # ====================== window prep =======================================
@@ -479,32 +479,38 @@ def prepare_windows(stream: bytes, data_starts, W64: int):
 
 
 # ====================== stage B: chunk automaton ==========================
-def chunk_automaton(adv, emit, stop, is_eob, is_m, hints, W64: int):
-    """Pass 1: marks + per-chunk sums.  All [B, 64, W64] inputs in
-    phase-major layout; hints [B, W64] int32 (entry phase or HINT_NONE).
+def chunk_automaton(A0, hints, W64: int):
+    """Stage B: within-chunk mark automaton — ONE unrolled 64-step pass.
 
-    Returns dict of [B, W64]: Mlo/Mhi (marks bitmap), Clo/Chi (carry
-    into next chunk, bits 64..127 rebased to 0), sum_emit, sum_cnt,
-    sum_match, sum_eob, sum_inv.
+    Seeded from the per-chunk entry-phase hints, marks every symbol
+    start (bit t of a chunk can only be set by t' < t since advance
+    >= 1, so each bit is final when visited).  The same pass
+    accumulates per-chunk sums and emits the per-position within-chunk
+    symbol rank (for stage D's routing displacement).  All reads are
+    static row slices of the packed A0 — the loop touches [B, W64]
+    state only, keeping it bandwidth-cheap.
+
+    Returns (sums dict of [B, W64], rank_rows [B, 64, W64]).
     """
-    B = adv.shape[0]
+    B = A0.shape[0]
     z = jnp.zeros((B, W64), I32)
     h = hints
     Mlo = jnp.where(h < 32, 1 << jnp.clip(h, 0, 31), 0)
     Mhi = jnp.where((h >= 32) & (h < 64), 1 << jnp.clip(h - 32, 0, 31), 0)
-
-    def body(t, st):
-        Mlo, Mhi, Clo, Chi, se, sc, sm, sb, si = st
-        bit = jnp.where(t < 32, _srl(Mlo, jnp.clip(t, 0, 31)),
-                        _srl(Mhi, jnp.clip(t - 32, 0, 31))) & 1
-        adv_t = jax.lax.dynamic_slice_in_dim(adv, t, 1, axis=1)[:, 0]
-        emit_t = jax.lax.dynamic_slice_in_dim(emit, t, 1, axis=1)[:, 0]
-        stop_t = jax.lax.dynamic_slice_in_dim(stop, t, 1, axis=1)[:, 0]
-        eob_t = jax.lax.dynamic_slice_in_dim(is_eob, t, 1, axis=1)[:, 0]
-        m_t = jax.lax.dynamic_slice_in_dim(is_m, t, 1, axis=1)[:, 0]
+    Clo = Chi = se = sc = sm = sb = si = z
+    rank_rows = []
+    for t in range(64):
+        a = A0[:, t, :]
+        bit = (_srl(Mlo, t) if t < 32 else _srl(Mhi, t - 32)) & 1
+        adv_t = a & 63
+        emit_t = _srl(a, 6) & 511
+        cls_t = _srl(a, 15) & 3
+        stop_t = cls_t >= 2
+        rank_rows.append(sc)
         live = bit & (1 - stop_t.astype(I32))
         nt = t + adv_t
-        Mlo = Mlo | jnp.where(nt < 32, live << jnp.clip(nt, 0, 31), 0)
+        if t < 31:
+            Mlo = Mlo | jnp.where(nt < 32, live << jnp.clip(nt, 0, 31), 0)
         Mhi = Mhi | jnp.where((nt >= 32) & (nt < 64),
                               live << jnp.clip(nt - 32, 0, 31), 0)
         Clo = Clo | jnp.where((nt >= 64) & (nt < 96),
@@ -513,60 +519,13 @@ def chunk_automaton(adv, emit, stop, is_eob, is_m, hints, W64: int):
                               live << jnp.clip(nt - 96, 0, 31), 0)
         se = se + bit * emit_t
         sc = sc + bit
-        sm = sm + bit * m_t.astype(I32)
-        sb = sb + bit * eob_t.astype(I32)
-        si = si + bit * (stop_t & ~eob_t).astype(I32)
-        return Mlo, Mhi, Clo, Chi, se, sc, sm, sb, si
-
-    Mlo, Mhi, Clo, Chi, se, sc, sm, sb, si = jax.lax.fori_loop(
-        0, 64, body, (Mlo, Mhi, z, z, z, z, z, z, z))
-    return {"Mlo": Mlo, "Mhi": Mhi, "Clo": Clo, "Chi": Chi,
+        sm = sm + bit * (cls_t == 1).astype(I32)
+        sb = sb + bit * (cls_t == 2).astype(I32)
+        si = si + bit * (cls_t == 3).astype(I32)
+    sums = {"Mlo": Mlo, "Mhi": Mhi, "Clo": Clo, "Chi": Chi,
             "sum_emit": se, "sum_cnt": sc, "sum_match": sm,
             "sum_eob": sb, "sum_inv": si}
-
-
-def chunk_rows(adv, emit, stop, is_m, hints, ostart, sstart, mstart,
-               W64: int):
-    """Pass 2: per-position opos/symidx/matchidx rows for marked bits.
-
-    Returns (sym_arr, aux_arr) each [B, 64, W64]; aux = opos | mi<<16.
-    Values are only meaningful at marked positions.
-    """
-    B = adv.shape[0]
-    h = hints
-    Mlo0 = jnp.where(h < 32, 1 << jnp.clip(h, 0, 31), 0)
-    Mhi0 = jnp.where((h >= 32) & (h < 64), 1 << jnp.clip(h - 32, 0, 31), 0)
-    sym_arr = jnp.zeros((B, 64, W64), I32)
-    aux_arr = jnp.zeros((B, 64, W64), I32)
-
-    def body(t, st):
-        Mlo, Mhi, ae, ac, am, sym_arr, aux_arr = st
-        bit = jnp.where(t < 32, _srl(Mlo, jnp.clip(t, 0, 31)),
-                        _srl(Mhi, jnp.clip(t - 32, 0, 31))) & 1
-        adv_t = jax.lax.dynamic_slice_in_dim(adv, t, 1, axis=1)[:, 0]
-        emit_t = jax.lax.dynamic_slice_in_dim(emit, t, 1, axis=1)[:, 0]
-        stop_t = jax.lax.dynamic_slice_in_dim(stop, t, 1, axis=1)[:, 0]
-        m_t = jax.lax.dynamic_slice_in_dim(is_m, t, 1, axis=1)[:, 0]
-        sym_t = sstart + ac
-        aux_t = (ostart + ae) | ((mstart + am) << 16)
-        sym_arr = jax.lax.dynamic_update_slice_in_dim(
-            sym_arr, sym_t[:, None], t, axis=1)
-        aux_arr = jax.lax.dynamic_update_slice_in_dim(
-            aux_arr, aux_t[:, None], t, axis=1)
-        live = bit & (1 - stop_t.astype(I32))
-        nt = t + adv_t
-        Mlo = Mlo | jnp.where(nt < 32, live << jnp.clip(nt, 0, 31), 0)
-        Mhi = Mhi | jnp.where((nt >= 32) & (nt < 64),
-                              live << jnp.clip(nt - 32, 0, 31), 0)
-        ae = ae + bit * emit_t
-        ac = ac + bit
-        am = am + bit * m_t.astype(I32)
-        return Mlo, Mhi, ae, ac, am, sym_arr, aux_arr
-
-    z = jnp.zeros((B, W64), I32)
-    _, _, _, _, _, sym_arr, aux_arr = jax.lax.fori_loop(
-        0, 64, body, (Mlo0, Mhi0, z, z, z, sym_arr, aux_arr))
-    return sym_arr, aux_arr
+    return sums, jnp.stack(rank_rows, axis=1)
 
 
 # ====================== stages C-F: assembly ==============================
@@ -621,39 +580,32 @@ def wave_decode(nwords, hints, out_expect, md, W64: int):
     dist); nmatch [B]; produced [B]; err [B] int32).
     """
     B, S = nwords.shape[0], 64 * W64
-    pos = decode_positions(nwords, md, W64)
-    stop = pos["is_eob"] | pos["invalid"]
-    a1 = chunk_automaton(pos["advance"], pos["emit"], stop,
-                         pos["is_eob"], pos["is_m"], hints, W64)
-    ostart = _exclusive(a1["sum_emit"])
-    sstart = _exclusive(a1["sum_cnt"])
-    mstart = _exclusive(a1["sum_match"])
-    produced = ostart[:, -1] + a1["sum_emit"][:, -1]
-    nsym = sstart[:, -1] + a1["sum_cnt"][:, -1]
-    nmatch = mstart[:, -1] + a1["sum_match"][:, -1]
+    A0, P1 = decode_positions(nwords, md, W64)
+    sums, rank_rows = chunk_automaton(A0, hints, W64)
+    sstart = _exclusive(sums["sum_cnt"])
+    produced = jnp.sum(sums["sum_emit"], axis=1)
+    nsym = sstart[:, -1] + sums["sum_cnt"][:, -1]
+    nmatch = jnp.sum(sums["sum_match"], axis=1)
 
     # ---- chain validation: carry of chunk w-1 must equal hint of w ----
     h = hints
     elo = jnp.where(h < 32, 1 << jnp.clip(h, 0, 31), 0)
     ehi = jnp.where((h >= 32) & (h < 64), 1 << jnp.clip(h - 32, 0, 31), 0)
     cin_lo = jnp.concatenate(
-        [jnp.zeros((B, 1), I32), a1["Clo"][:, :-1]], axis=1)
+        [jnp.zeros((B, 1), I32), sums["Clo"][:, :-1]], axis=1)
     cin_hi = jnp.concatenate(
-        [jnp.zeros((B, 1), I32), a1["Chi"][:, :-1]], axis=1)
+        [jnp.zeros((B, 1), I32), sums["Chi"][:, :-1]], axis=1)
     mism = (cin_lo != elo) | (cin_hi != ehi)
     err = jnp.any(mism[:, 1:], axis=1).astype(I32)
     err = err | ((h[:, 0] != 0)).astype(I32)          # chain starts at 0
-    err = err | (jnp.sum(a1["sum_inv"], axis=1) > 0).astype(I32)
-    err = err | (jnp.sum(a1["sum_eob"], axis=1) != 1).astype(I32)
+    err = err | (jnp.sum(sums["sum_inv"], axis=1) > 0).astype(I32)
+    err = err | (jnp.sum(sums["sum_eob"], axis=1) != 1).astype(I32)
     err = err | (produced != out_expect).astype(I32)
     err = err | (nsym > NS).astype(I32)
     err = err | (nmatch > NM).astype(I32)
 
     # ---- stage D: route marked positions to dense symbol slots -------
-    sym_arr, aux_arr = chunk_rows(
-        pos["advance"], pos["emit"], stop, pos["is_m"], hints,
-        ostart, sstart, mstart, W64)
-    mk = _unpack_marks(a1["Mlo"], a1["Mhi"], W64) > 0
+    mk = _unpack_marks(sums["Mlo"], sums["Mhi"], W64) > 0
 
     def flat(a):
         return a.transpose(0, 2, 1).reshape(B, S)
@@ -662,36 +614,36 @@ def wave_decode(nwords, hints, out_expect, md, W64: int):
         (jnp.arange(W64, dtype=I32) * 64)[None, :, None]
         + jnp.arange(64, dtype=I32)[None, None, :], (B, W64, 64)
     ).reshape(B, S)
-    mkf = flat(mk)
-    delta = jnp.where(mkf, i_pos - flat(sym_arr), -1)
+    symidx = flat(rank_rows) + jnp.repeat(sstart, 64, axis=1)
+    delta = jnp.where(flat(mk), i_pos - symidx, -1)
     rounds = int(S - 1).bit_length()
-    (P0, P1, P2), dout = route_monotone_left(
-        [flat(pos["P0"]), flat(pos["P1"]), flat(aux_arr)], delta, rounds)
+    (P0, P1f), dout = route_monotone_left(
+        [flat(A0), flat(P1)], delta, rounds)
     if S < NS:
         pad = NS - S
         P0 = jnp.pad(P0, ((0, 0), (0, pad)))
-        P1 = jnp.pad(P1, ((0, 0), (0, pad)))
-        P2 = jnp.pad(P2, ((0, 0), (0, pad)))
+        P1f = jnp.pad(P1f, ((0, 0), (0, pad)))
         dout = jnp.pad(dout, ((0, 0), (0, pad)), constant_values=-1)
-    P0, P1, P2, dout = (P0[:, :NS], P1[:, :NS], P2[:, :NS], dout[:, :NS])
+    P0, P1f, dout = P0[:, :NS], P1f[:, :NS], dout[:, :NS]
     valid = dout == 0
 
-    # ---- stage E: literal values at symbol domain --------------------
-    cls = P0 & 3
-    len_s = _srl(P0, 2) & 15
-    r_rel = _srl(P0, 6) & 511
-    len3 = _srl(P0, 15) & 255
-    litval = resolve_litval(len_s, r_rel, md["l_litmask"])
+    # ---- stage E: unpack + literal values at symbol domain -----------
+    emit_s = jnp.where(valid, _srl(P0, 6) & 511, 0)
+    cls = _srl(P0, 15) & 3
+    X = _srl(P0, 17) & 511
+    len_s = _srl(P0, 26) & 15
     is_lit_s = valid & (cls == 0)
     is_m_s = valid & (cls == 1)
-    opos = P2 & 0xFFFF
-    mi = _srl(P2, 16) & 0x3FFF
+    opos = _exclusive(emit_s)
+    mcnt = is_m_s.astype(I32)
+    mi = jnp.cumsum(mcnt, axis=1) - mcnt
+    litval = resolve_litval(len_s, X, md["l_litmask"])
 
     # ---- match records: compact to [B, NM] ---------------------------
     j_sym = jnp.broadcast_to(jnp.arange(NS, dtype=I32)[None], (B, NS))
     d4 = jnp.where(is_m_s, j_sym - mi, -1)
     (rec0, rec1), d4o = route_monotone_left(
-        [opos | (len3 << 16), P1], d4, int(NS - 1).bit_length())
+        [opos | (X << 16), P1f], d4, int(NS - 1).bit_length())
     rec0 = jnp.where(d4o[:, :NM] == 0, rec0[:, :NM], -1)
     rec1 = jnp.where(d4o[:, :NM] == 0, rec1[:, :NM], 0)
 

@@ -167,6 +167,7 @@ def _token_oracle(stream, md, b, pos_local):
     return ("match", adv, length, dist)
 
 
+@pytest.mark.slow
 def test_stage_a_differential():
     rng = np.random.default_rng(2)
     data = (rng.integers(97, 123, 40000, dtype=np.uint8).tobytes()
@@ -178,11 +179,12 @@ def test_stage_a_differential():
     nwords = W.prepare_windows(stream, md["data_start"], W64)
     mdj = {k: jnp.asarray(v) for k, v in md.items()
            if k.startswith(("l_", "d_"))}
-    pos = W.decode_positions(jnp.asarray(nwords), mdj, W64)
-    adv = np.asarray(pos["advance"])
-    emit = np.asarray(pos["emit"])
-    P1 = np.asarray(pos["P1"])
-    inv = np.asarray(pos["invalid"])
+    A0, P1j = W.decode_positions(jnp.asarray(nwords), mdj, W64)
+    A0 = np.asarray(A0)
+    adv = A0 & 63
+    emit = (A0 >> 6) & 511
+    P1 = np.asarray(P1j)
+    inv = ((A0 >> 15) & 3) == 3
     B = len(offs)
     for b in range(B):
         for p in rng.integers(0, 40000, 40):
@@ -216,6 +218,7 @@ def _fill_matches_host(litwords, rec0, rec1, nmatch):
     return out
 
 
+@pytest.mark.slow
 def test_wave_decode_end_to_end():
     rng = np.random.default_rng(3)
     segs = [rng.integers(97, 123, 50000, dtype=np.uint8).tobytes(),
@@ -255,6 +258,7 @@ def test_wave_decode_end_to_end():
     assert got == data
 
 
+@pytest.mark.slow
 def test_wave_decode_detects_corruption():
     rng = np.random.default_rng(4)
     data = rng.integers(97, 123, 80000, dtype=np.uint8).tobytes()
@@ -278,6 +282,7 @@ def test_wave_decode_detects_corruption():
     assert np.asarray(err)[0], "corruption must surface in err flag"
 
 
+@pytest.mark.slow
 def test_wave_decoder_model_interpret():
     """Full model driver: huffman + stored blocks, fill kernel in
     interpret mode, reassembly in original order."""
@@ -295,3 +300,47 @@ def test_wave_decoder_model_interpret():
     got, err = WD.inflate_wave(stream, offs, exp, interpret=True)
     assert not err.any(), err
     assert got == data
+
+
+@pytest.mark.slow
+def test_encoder_hints_match_walk():
+    """Encoder-emitted decode hints must equal the oracle host walk."""
+    import jax
+    from deflate_tpu.models import encoder as E
+    from deflate_tpu.runtime import stitch as S
+    from deflate_tpu.utils.tables import BLOCK_SIZE
+
+    rng = np.random.default_rng(6)
+    data = (rng.integers(97, 123, 60000, dtype=np.uint8).tobytes()
+            + b"z" * 30000
+            + rng.integers(0, 256, 8000, dtype=np.uint8).tobytes())
+    buf = np.frombuffer(data, np.uint8)
+    nb = -(-len(buf) // BLOCK_SIZE)
+    pad = nb * BLOCK_SIZE - len(buf)
+    blocks = jnp.asarray(np.pad(buf, (0, pad)).reshape(nb, BLOCK_SIZE))
+    lens = np.full(nb, BLOCK_SIZE, np.int32)
+    lens[-1] = len(buf) - (nb - 1) * BLOCK_SIZE
+    w, t, off, bits, hints = jax.jit(
+        E.encode_batch_with_hints, static_argnums=(4,))(
+        blocks, jnp.asarray(lens), jnp.ones(nb, bool),
+        np.int32(nb - 1), 2, 0)
+    stream = S.words_to_bytes(np.asarray(w), int(t))
+    assert zlib.decompress(stream, -15) == data
+    offs = np.asarray(off, np.int64)
+    walk, _ = W.hints_from_walk_host(stream, offs)
+    got = np.asarray(hints)
+    md = W.parse_headers_host(stream, offs)
+    for b in range(nb):
+        if md["btype"][b] == 0:
+            assert (got[b] == W.HINT_NONE).all()
+        else:
+            assert (got[b, :4224] == walk[b, :4224]).all(), b
+
+    # and the full decode path accepts them
+    from deflate_tpu.models import wave_decoder as WD
+    sizes = lens.astype(np.int64)
+    out, err = WD.inflate_wave(stream, offs, sizes,
+                               hints=got.astype(np.uint8),
+                               interpret=True)
+    assert not err.any()
+    assert out == data
