@@ -80,10 +80,16 @@ def inflate_wave_device(stream: bytes, bit_offsets, out_sizes,
         litwords, rec0, rec1, nmatch, prod, e = W.wave_decode(
             jnp.asarray(nw), jnp.asarray(hsel, jnp.int32),
             jnp.asarray(out_sizes[sel], jnp.int32), mdj, W64)
-        recs = jnp.stack([rec0, rec1], axis=2).reshape(len(sel), 2 * W.NM)
-        filled = WF.fill_matches(litwords, recs, nmatch, len(sel),
+        n = len(sel)
+        npad = -(-n // WF.K) * WF.K            # fill kernel cell multiple
+        recs = jnp.stack([rec0, rec1], axis=2).reshape(n, 2 * W.NM)
+        if npad != n:
+            litwords = jnp.pad(litwords, ((0, npad - n), (0, 0)))
+            recs = jnp.pad(recs, ((0, npad - n), (0, 0)))
+            nmatch = jnp.pad(nmatch, (0, npad - n))
+        filled = WF.fill_matches(litwords, recs, nmatch, npad,
                                  interpret=interpret)
-        words = words.at[sel].set(filled)
+        words = words.at[sel].set(filled[:n])
         produced[sel] = np.asarray(prod)
         err[sel] |= np.asarray(e).astype(np.int64)
         order_out.append((sel, W64))

@@ -6,10 +6,21 @@ inherently sequential step — copying match bytes, which may reference
 bytes produced by earlier matches (reference analog: the backref copy
 loop at inflate.hpp:284-305).  Work is bounded by match BYTES / 8 per
 iteration (word-group copies with RFC-overlap handling), not by symbol
-count; literal-heavy blocks cost almost nothing here.
+count.
+
+Throughput structure (measured on v5e):
+  * a single SMEM-destined DMA runs at only ~0.6 GB/s, but CONCURRENT
+    DMA channels overlap (~3+ GB/s aggregate, cf. ops/pallas_inflate's
+    4-chain cells) — so each grid cell handles K blocks and issues all
+    2K input DMAs together, then all K output DMAs;
+  * one flattened while-loop per block advances 8 output bytes per
+    iteration and loads the next record branchlessly — short matches
+    cost exactly one iteration.
 
 Records are interleaved [B, 2*NM] (rec0, rec1 pairs); NM is a multiple
-of 1024 so per-window DMA source offsets stay Mosaic-tile aligned.
+of 1024 so DMA source offsets stay Mosaic-tile aligned.  Only the first
+RW records per block ride the batched DMA; rare overflow windows
+(> RW matches) are fetched synchronously.
 """
 from __future__ import annotations
 
@@ -23,68 +34,94 @@ from jax.experimental.pallas import tpu as pltpu
 from deflate_tpu.ops.wave import NM, ND
 
 OW = ND // 4                 # output words per block
-RW = 2048                    # match records per SMEM window
+RW = 1024                    # match records per SMEM window
+K = 8                        # blocks per grid cell (concurrent DMAs)
+# slot strides 1024-word aligned (Mosaic DMA tiling); OWP's +1024 pad
+# also absorbs the word-pair RMW one-past-the-end touch
+OWP = OW + 1024
+RECP = 2 * RW
 
 
 def _kernel(nm_ref, lit_ref, rec_ref, out_ref, outw, recs,
-            sem_in, sem_rec, sem_out):
+            sems_lit, sems_rec, sems_out):
     g = pl.program_id(0)
     i32 = jnp.int32
 
     def srl(x, n):
         return jax.lax.shift_right_logical(x, n)
 
-    cp_in = pltpu.make_async_copy(
-        lit_ref.at[pl.ds(g * OW, OW)], outw.at[pl.ds(0, OW)], sem_in)
-    cp_in.start()
-    nm = nm_ref[g]
-    cp_in.wait()
-
-    def funnel_out(p):
-        wi = srl(p, 2)
-        sh = (p & 3) * 8
-        a = outw[wi]
-        b = outw[wi + 1]
-        return jnp.where(sh == 0, a, srl(a, sh) | (b << (32 - sh)))
-
-    def wr_group4(p, w, m):
-        wi = srl(p, 2)
-        sh = (p & 3) * 8
-        ma = m << sh
-        va = w << sh
-        mb = jnp.where(sh == 0, i32(0), srl(m, 32 - sh))
-        vb = jnp.where(sh == 0, i32(0), srl(w, 32 - sh))
-        a = outw[wi]
-        outw[wi] = (a & ~ma) | (va & ma)
-        b = outw[wi + 1]
-        outw[wi + 1] = (b & ~mb) | (vb & mb)
-
-    def rot3(w):
-        return srl(w, 8) | ((srl(w, 8) & 0xFF) << 24)
-
-    def do_window(wi, _):
-        base = g * 2 * NM + wi * 2 * RW
-        cp = pltpu.make_async_copy(
-            rec_ref.at[pl.ds(base, 2 * RW)], recs.at[pl.ds(0, 2 * RW)],
-            sem_rec)
+    # ---- all input DMAs for the cell's K blocks, concurrently --------
+    cps = []
+    for j in range(K):
+        cps.append(pltpu.make_async_copy(
+            lit_ref.at[pl.ds((g * K + j) * OW, OW)],
+            outw.at[pl.ds(j * OWP, OW)], sems_lit.at[j]))
+        cps.append(pltpu.make_async_copy(
+            rec_ref.at[pl.ds((g * K + j) * 2 * NM, 2 * RW)],
+            recs.at[pl.ds(j * RECP, 2 * RW)], sems_rec.at[j]))
+    for cp in cps:
         cp.start()
+    for cp in cps:
         cp.wait()
-        lim = jnp.minimum(nm - wi * RW, RW)
 
-        def do_match(m, _):
-            r0 = recs[2 * m]
-            dist = recs[2 * m + 1]
-            opos = r0 & 0xFFFF
-            length = (srl(r0, 16) & 255) + 3
+    # ---- per-block fill ----------------------------------------------
+    def fill_one(j):
+        sb = j * OWP
+        rb = j * RECP
+        nm = nm_ref[g * K + j]
+
+        def funnel_out(p):
+            wi = srl(p, 2)
+            sh = (p & 3) * 8
+            a = outw[sb + wi]
+            b = outw[sb + wi + 1]
+            return jnp.where(sh == 0, a, srl(a, sh) | (b << (32 - sh)))
+
+        def wr_group4(p, w, m):
+            wi = srl(p, 2)
+            sh = (p & 3) * 8
+            ma = m << sh
+            va = w << sh
+            mb = jnp.where(sh == 0, i32(0), srl(m, 32 - sh))
+            vb = jnp.where(sh == 0, i32(0), srl(w, 32 - sh))
+            a = outw[sb + wi]
+            outw[sb + wi] = (a & ~ma) | (va & ma)
+            b = outw[sb + wi + 1]
+            outw[sb + wi + 1] = (b & ~mb) | (vb & mb)
+
+        def rot3(w):
+            return srl(w, 8) | ((srl(w, 8) & 0xFF) << 24)
+
+        def do_window(wi, _):
+            # window 0 rode the batched DMA; later windows synchronous
+            @pl.when(wi > 0)
+            def _():
+                pltpu.make_async_copy(
+                    rec_ref.at[pl.ds((g * K + j) * 2 * NM + wi * 2 * RW,
+                                     2 * RW)],
+                    recs.at[pl.ds(rb, 2 * RW)], sems_rec.at[j]).start()
+                pltpu.make_async_copy(
+                    rec_ref.at[pl.ds((g * K + j) * 2 * NM + wi * 2 * RW,
+                                     2 * RW)],
+                    recs.at[pl.ds(rb, 2 * RW)], sems_rec.at[j]).wait()
+            lim = jnp.minimum(nm - wi * RW, RW)
 
             def cond(c):
-                return c[1] > 0
+                mi, p, rem, dist = c
+                return (mi < lim) | (rem > 0)
 
             def body(c):
-                p, rem = c
+                mi, p, rem, dist = c
+                fresh = (rem <= 0).astype(i32)
+                ms = jnp.minimum(mi, RW - 1)
+                r0 = recs[rb + 2 * ms]
+                r1 = recs[rb + 2 * ms + 1]
+                p = jnp.where(fresh > 0, r0 & 0xFFFF, p)
+                rem = jnp.where(fresh > 0, (srl(r0, 16) & 255) + 3, rem)
+                dist = jnp.where(fresh > 0, r1, dist)
+                mi = mi + fresh
                 eff = jnp.minimum(rem, i32(8))
-                pb = p - dist
-                w0 = funnel_out(pb)
+                w0 = funnel_out(p - dist)
                 bb = w0 & 0xFF
                 rep1 = bb | (bb << 8) | (bb << 16) | (bb << 24)
                 hh = w0 & 0xFFFF
@@ -105,38 +142,45 @@ def _kernel(nm_ref, lit_ref, rec_ref, out_ref, outw, recs,
                 v1 = jnp.where(dist == 3, rot3(patw),
                                jnp.where(dist < 4, patw, w1f))
                 wr_group4(p + 4, v1, m1)
-                return p + eff, rem - eff
+                return mi, p + eff, rem - eff, dist
 
-            jax.lax.while_loop(cond, body, (opos, length))
+            jax.lax.while_loop(cond, body,
+                               (i32(0), i32(0), i32(0), i32(1)))
             return 0
 
-        jax.lax.fori_loop(0, lim, do_match, 0)
-        return 0
+        jax.lax.fori_loop(0, (nm + RW - 1) // RW, do_window, 0)
 
-    jax.lax.fori_loop(0, (nm + RW - 1) // RW, do_window, 0)
+    for j in range(K):
+        fill_one(j)
 
-    cp_out = pltpu.make_async_copy(
-        outw.at[pl.ds(0, OW)], out_ref.at[pl.ds(g * OW, OW)], sem_out)
-    cp_out.start()
-    cp_out.wait()
+    cps_out = []
+    for j in range(K):
+        cp = pltpu.make_async_copy(
+            outw.at[pl.ds(j * OWP, OW)],
+            out_ref.at[pl.ds((g * K + j) * OW, OW)], sems_out.at[j])
+        cp.start()
+        cps_out.append(cp)
+    for cp in cps_out:
+        cp.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("B", "interpret"))
 def fill_matches(litwords, recs, nmatch, B: int, interpret: bool = False):
     """litwords [B, OW] int32, recs [B, 2*NM] interleaved, nmatch [B].
-    Returns filled words [B, OW]."""
+    B must be a multiple of K (callers pad).  Returns [B, OW]."""
+    assert B % K == 0, B
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B,),
+        grid=(B // K,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
                   pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.SMEM((OW + 8,), jnp.int32),
-            pltpu.SMEM((2 * RW,), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((K * OWP,), jnp.int32),
+            pltpu.SMEM((K * RECP,), jnp.int32),
+            pltpu.SemaphoreType.DMA((K,)),
+            pltpu.SemaphoreType.DMA((K,)),
+            pltpu.SemaphoreType.DMA((K,)),
         ],
     )
     out = pl.pallas_call(
