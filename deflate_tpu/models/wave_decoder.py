@@ -18,6 +18,30 @@ import numpy as np
 from deflate_tpu.ops import wave as W
 from deflate_tpu.ops import wave_fill as WF
 
+import functools
+
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=("W64", "npad", "interpret"))
+def wave_decode_filled(nw, hints, sizes, mdj, W64: int, npad: int,
+                       interpret: bool = False):
+    """wave_decode + match fill in ONE jitted program — eager glue ops
+    cost ~30 ms each on the axon tunnel (CLAUDE.md), so everything
+    between the two kernels stays inside the jit."""
+    n = nw.shape[0]
+    litwords, rec0, rec1, nmatch, prod, e = W.wave_decode(
+        nw, hints, sizes, mdj, W64)
+    recs = jnp.stack([rec0, rec1], axis=2).reshape(n, 2 * W.NM)
+    if npad != n:
+        litwords = jnp.pad(litwords, ((0, npad - n), (0, 0)))
+        recs = jnp.pad(recs, ((0, npad - n), (0, 0)))
+        nmatch = jnp.pad(nmatch, (0, npad - n))
+    filled = WF.fill_matches(litwords, recs, nmatch, npad,
+                             interpret=interpret)
+    return filled[:n], prod, e
+
+
 BUCKETS = (512, 1024, 1536, 2048, 2560, 3072, 3584, 4224)   # W64 sizes
 # (span/64, lane-aligned; fine steps — stage cost scales with the bucket)
 
@@ -77,19 +101,13 @@ def inflate_wave_device(stream: bytes, bit_offsets, out_sizes,
         hsel[:, :hav] = hints[sel][:, :hav]
         mdj = {k: jnp.asarray(v[sel]) for k, v in md.items()
                if k.startswith(("l_", "d_"))}
-        litwords, rec0, rec1, nmatch, prod, e = W.wave_decode(
-            jnp.asarray(nw), jnp.asarray(hsel, jnp.int32),
-            jnp.asarray(out_sizes[sel], jnp.int32), mdj, W64)
         n = len(sel)
         npad = -(-n // WF.K) * WF.K            # fill kernel cell multiple
-        recs = jnp.stack([rec0, rec1], axis=2).reshape(n, 2 * W.NM)
-        if npad != n:
-            litwords = jnp.pad(litwords, ((0, npad - n), (0, 0)))
-            recs = jnp.pad(recs, ((0, npad - n), (0, 0)))
-            nmatch = jnp.pad(nmatch, (0, npad - n))
-        filled = WF.fill_matches(litwords, recs, nmatch, npad,
-                                 interpret=interpret)
-        words = words.at[sel].set(filled[:n])
+        filled, prod, e = wave_decode_filled(
+            jnp.asarray(nw), jnp.asarray(hsel, jnp.int32),
+            jnp.asarray(out_sizes[sel], jnp.int32), mdj, W64, npad,
+            interpret)
+        words = words.at[sel].set(filled)
         produced[sel] = np.asarray(prod)
         err[sel] |= np.asarray(e).astype(np.int64)
         order_out.append((sel, W64))

@@ -93,12 +93,17 @@ def main():
         def dstep():
             outs = []
             for nw, hs, sz, mdj, W64, n in calls:
-                lw, r0, r1, nm, prod, e = W.wave_decode(
-                    nw, hs, sz, mdj, W64)
-                recs = jnp.stack([r0, r1], axis=2).reshape(n, 2 * W.NM)
-                outs.append((WF.fill_matches(lw, recs, nm, n), e))
+                npad = -(-n // WF.K) * WF.K
+                filled, prod, e = WD.wave_decode_filled(
+                    nw, hs, sz, mdj, W64, npad)
+                outs.append((filled, e))
             return outs
 
+        if not calls:
+            print(f"{kind:6s} ratio={len(stream)/nbytes:.3f} "
+                  f"all-stored (no huffman blocks); hdr={t_hdr*1e3:.0f}ms",
+                  flush=True)
+            continue
         outs = dstep()
         int(np.asarray(outs[0][1][0]))        # warm + sync
         t0 = time.perf_counter()
