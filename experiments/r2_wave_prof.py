@@ -36,9 +36,9 @@ def main():
 
     @jax.jit
     def enc(blocks, blens, live):
-        w, t, off, bits = E.encode_batch_with_offsets(
+        w, t, off, bits, hints = E.encode_batch_with_hints(
             blocks, blens, live, np.int32(NB - 1), 2, 0)
-        return w, t, off
+        return w, t, off, hints
 
     import zlib
     for kind in kinds:
@@ -47,18 +47,18 @@ def main():
         blocks = jnp.asarray(buf.reshape(NB, BLOCK_SIZE))
         blens = jnp.full((NB,), BLOCK_SIZE, jnp.int32)
         live = jnp.ones((NB,), bool)
-        w, t, off = enc(blocks, blens, live)
+        w, t, off, hints_d = enc(blocks, blens, live)
         stream = S.words_to_bytes(np.asarray(w), int(t))
         assert zlib.decompress(stream, -15) == data
         offs = np.asarray(off, np.int64)
         sizes = np.full(NB, BLOCK_SIZE, np.int64)
 
-        # host prep timing
+        # host prep timing (hints come from the encoder, not a walk)
         t0 = time.perf_counter()
         md = W.parse_headers_host(stream, offs)
         t_hdr = time.perf_counter() - t0
         t0 = time.perf_counter()
-        hints, _ = W.hints_from_walk_host(stream, offs)
+        hints = np.asarray(hints_d, np.uint8)
         t_walk = time.perf_counter() - t0
 
         # full-path correctness once

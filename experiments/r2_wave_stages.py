@@ -98,6 +98,19 @@ def main():
     lw, r0, r1, nm, prod, e = full(nw, hsj, sizes, mdj)
     recs = jnp.stack([r0, r1], axis=2).reshape(B, 2 * W.NM)
     timeit("G fill_matches", WF.fill_matches, lw, recs, nm, B)
+
+    from deflate_tpu.models import wave_decoder as WD
+    timeit("FUSED wave_decode_filled", WD.wave_decode_filled,
+           nw, hsj, sizes, mdj, W64, B)
+
+    @jax.jit
+    def decode_then_stack(nw, hsj, sizes, mdj):
+        lw, r0, r1, nm, prod, e = W.wave_decode(nw, hsj, sizes, mdj,
+                                                W64=W64)
+        recs = jnp.stack([r0, r1], axis=2).reshape(B, 2 * W.NM)
+        return lw, recs, nm, e
+    timeit("A-F + stack (no fill)", decode_then_stack, nw, hsj, sizes,
+           mdj)
     print(f"span max {int(span.max())} S={S_} B={B}")
 
 

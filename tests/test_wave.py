@@ -344,3 +344,26 @@ def test_encoder_hints_match_walk():
                                interpret=True)
     assert not err.any()
     assert out == data
+
+
+@pytest.mark.slow
+def test_manifest_v2_wave_roundtrip():
+    """compress_with_manifest v2 hints -> decode_all(device) wave path,
+    plus JSON serialization round-trip and v1 compatibility."""
+    from deflate_tpu.runtime import manifest as M
+
+    rng = np.random.default_rng(8)
+    data = (rng.integers(97, 123, 50000, dtype=np.uint8).tobytes()
+            + rng.integers(0, 256, 40000, dtype=np.uint8).tobytes())
+    stream, man = M.compress_with_manifest(data, level=2)
+    assert man.hints is not None and len(man.hints) == len(man.blocks)
+    assert zlib.decompress(stream, -15) == data
+
+    man2 = M.Manifest.from_json(man.to_json())
+    assert man2.hints == man.hints and man2.blocks == man.blocks
+
+    got = M.decode_all(stream, man2, device=True, interpret=True)
+    assert got == data
+    # hintless (v1-style) manifests still decode via the host path
+    man_v1 = M.Manifest(man.block_size, man.total_bits, man.blocks, None)
+    assert M.decode_all(stream, man_v1, device=False) == data
