@@ -101,39 +101,50 @@ def main():
         assert out == corpus
         host_decode_mbps = round(nbytes / ddt / 1e6, 1)
 
-    # secondary: DEVICE inflate via the Pallas scalar-core kernel,
-    # manifest-batched (every block in one launch).  Timed kernel-only by
-    # syncing on the tiny status output (d2h of the 8 MiB payload would
-    # measure the dev tunnel, not the chip).
+    # secondary: DEVICE inflate via the wavefront VPU decoder
+    # (models/wave_decoder.py) with manifest v2 hints from the encoder.
+    # Timed device-only via a device-side scalar reduce (d2h of the
+    # 8 MiB payload would measure the dev tunnel, not the chip).
     device_decode_mbps = None
     try:
         if time.perf_counter() - _T0 > 420:
             raise TimeoutError("bench budget: skipping device decode")
-        from deflate_tpu.ops import pallas_inflate as PI
+        from deflate_tpu.models import wave_decoder as WD
 
         offs = np.asarray(offsets_dev, np.int64)
-        # correctness first: full decode through the public path
-        from deflate_tpu.models import pallas_decoder as PD
+        sizes = np.full(NBLOCKS, BLOCK_SIZE, np.int64)
 
-        _mark("compiling pallas inflate (grid 64)")
-        got = PD.inflate_manifest(
-            encoded, [(int(offs[i]), 0, BLOCK_SIZE)
-                      for i in range(NBLOCKS)])
+        _mark("encoding decode hints")
+        hints = np.asarray(jax.jit(
+            E.encode_batch_with_hints, static_argnums=(4,))(
+            blocks, blens, live, np.int32(NBLOCKS - 1), LEVEL, 0)[4],
+            np.uint8)
+
+        _mark("compiling wave decode")
+        got, derr = WD.inflate_wave(encoded, offs, sizes, hints)
+        assert not derr.any(), f"wave decode err: {derr.nonzero()}"
         assert got == corpus, "device decode mismatch"
 
-        args, grid, _, _ = PI.prepare_blocks(encoded, offs)
+        prep, calls = WD.prepare_bucketed(encoded, offs, sizes, hints)
 
         def dstep():
-            _, s = PI._inflate_blocks_jit(*args, grid=grid)
-            return s
+            outs = []
+            for sel, nw, hs, sz, mdj, W64, npad in calls:
+                filled, prod, e = WD.wave_decode_filled(
+                    nw, hs, sz, mdj, W64, npad)
+                outs.append((filled, e))
+            return outs
+
+        def syncv(outs):
+            return int(jnp.sum(outs[-1][0][:, 0]) + jnp.sum(outs[-1][1]))
 
         _mark("timing device decode")
-        s = dstep()
-        int(np.asarray(s[0, 0]))                     # warm + sync
+        outs = dstep()
+        syncv(outs)
         t0 = time.perf_counter()
         for _ in range(3):
-            s = dstep()
-        int(np.asarray(s[0, 0]))
+            outs = dstep()
+        syncv(outs)
         ddt = (time.perf_counter() - t0) / 3
         device_decode_mbps = round(nbytes / ddt / 1e6, 1)
     except Exception as e:

@@ -46,16 +46,12 @@ BUCKETS = (512, 1024, 1536, 2048, 2560, 3072, 3584, 4224)   # W64 sizes
 # (span/64, lane-aligned; fine steps — stage cost scales with the bucket)
 
 
-def inflate_wave_device(stream: bytes, bit_offsets, out_sizes,
-                        hints=None, interpret: bool = False):
-    """Decode blocks on device; returns (words [B, 8192] jnp.int32 in
-    original block order, produced np[B], err np[B]).
+def prepare_bucketed(stream: bytes, bit_offsets, out_sizes, hints=None):
+    """Host prep shared by the driver and the benchmarks: header parse,
+    stored/huffman split, span bucketing, window extraction.
 
-    bit_offsets: absolute bit of each block's BFINAL bit (manifest).
-    out_sizes:   expected decoded size per block (manifest).
-    hints:       [B, >=W64] uint8 per-chunk entry phases (manifest v2);
-                 derived by a host walk when absent.
-    """
+    Returns (prep dict, calls) where each call is (sel, nw, hints, sizes,
+    mdj, W64, npad) ready for wave_decode_filled."""
     bit_offsets = np.asarray(bit_offsets, np.int64)
     out_sizes = np.asarray(out_sizes, np.int64)
     B = len(bit_offsets)
@@ -68,27 +64,21 @@ def inflate_wave_device(stream: bytes, bit_offsets, out_sizes,
     next_off = np.append(bit_offsets[1:], 8 * len(stream))
     span = np.maximum(next_off - md["data_start"], 0)
 
-    words = jnp.zeros((B, WF.OW), jnp.int32)
-    produced = np.zeros(B, np.int64)
     err = np.asarray(md["hdr_err"]).astype(np.int64).copy()
-
     is_stored = md["btype"] == 0
-    order_out = []
-
-    # ---- stored blocks: the window IS the payload (byte-aligned) -----
     sidx = np.nonzero(is_stored & ~md["hdr_err"])[0]
+    stored_words = None
     if len(sidx):
         nw = W.prepare_windows(stream, md["data_start"][sidx], 4096)
-        words = words.at[sidx].set(jnp.asarray(nw[:, :WF.OW]))
-        produced[sidx] = md["stored_len"][sidx]
+        stored_words = nw[:, :WF.OW]
         err[sidx] |= (md["stored_len"][sidx] != out_sizes[sidx])
 
-    # ---- huffman blocks, bucketed by span ----------------------------
     hidx_all = np.nonzero(~is_stored & ~md["hdr_err"])[0]
     overflow = span[hidx_all] > 64 * BUCKETS[-1]
     err[hidx_all[overflow]] = 1
     hidx_all = hidx_all[~overflow]
     need = -(-span[hidx_all] // 64)
+    calls = []
     for W64 in BUCKETS:
         sel = hidx_all[(need <= W64)
                        & (need > (BUCKETS[BUCKETS.index(W64) - 1]
@@ -103,15 +93,39 @@ def inflate_wave_device(stream: bytes, bit_offsets, out_sizes,
                if k.startswith(("l_", "d_"))}
         n = len(sel)
         npad = -(-n // WF.K) * WF.K            # fill kernel cell multiple
+        calls.append((sel, jnp.asarray(nw),
+                      jnp.asarray(hsel, jnp.int32),
+                      jnp.asarray(out_sizes[sel], jnp.int32), mdj, W64,
+                      npad))
+    prep = {"B": B, "md": md, "err": err, "sidx": sidx,
+            "stored_words": stored_words, "out_sizes": out_sizes}
+    return prep, calls
+
+
+def inflate_wave_device(stream: bytes, bit_offsets, out_sizes,
+                        hints=None, interpret: bool = False):
+    """Decode blocks on device; returns (words [B, 8192] jnp.int32 in
+    original block order, produced np[B], err np[B]).
+
+    bit_offsets: absolute bit of each block's BFINAL bit (manifest).
+    out_sizes:   expected decoded size per block (manifest).
+    hints:       [B, >=W64] uint8 per-chunk entry phases (manifest v2);
+                 derived by a host walk when absent.
+    """
+    prep, calls = prepare_bucketed(stream, bit_offsets, out_sizes, hints)
+    B, md, err = prep["B"], prep["md"], prep["err"]
+    words = jnp.zeros((B, WF.OW), jnp.int32)
+    produced = np.zeros(B, np.int64)
+    if prep["stored_words"] is not None:
+        words = words.at[prep["sidx"]].set(
+            jnp.asarray(prep["stored_words"]))
+        produced[prep["sidx"]] = md["stored_len"][prep["sidx"]]
+    for sel, nw, hsel, sizes, mdj, W64, npad in calls:
         filled, prod, e = wave_decode_filled(
-            jnp.asarray(nw), jnp.asarray(hsel, jnp.int32),
-            jnp.asarray(out_sizes[sel], jnp.int32), mdj, W64, npad,
-            interpret)
+            nw, hsel, sizes, mdj, W64, npad, interpret)
         words = words.at[sel].set(filled)
         produced[sel] = np.asarray(prod)
         err[sel] |= np.asarray(e).astype(np.int64)
-        order_out.append((sel, W64))
-
     return words, produced, err
 
 

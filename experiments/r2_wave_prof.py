@@ -104,14 +104,19 @@ def main():
                   f"all-stored (no huffman blocks); hdr={t_hdr*1e3:.0f}ms",
                   flush=True)
             continue
+        def syncv(outs):
+            # device-side scalar reduce; pulling the 2 MB payload d2h
+            # would time the tunnel, not the chip (CLAUDE.md)
+            import jax.numpy as jnp
+            return int(jnp.sum(outs[-1][0][:, 0]) + jnp.sum(outs[-1][1]))
+
         outs = dstep()
-        int(np.asarray(outs[0][1][0]))        # warm + sync
+        syncv(outs)                           # warm + sync
         t0 = time.perf_counter()
         reps = 3
         for _ in range(reps):
             outs = dstep()
-        int(np.asarray(outs[0][1][0]))
-        int(np.asarray(outs[0][0][0, 0]))
+        syncv(outs)
         dt = (time.perf_counter() - t0) / reps
         shapes = [(c[4], c[5]) for c in calls]
         print(f"{kind:6s} ratio={len(stream)/nbytes:.3f} "
