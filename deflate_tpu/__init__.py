@@ -14,7 +14,31 @@ Levels: 0 stored, 1 Huffman-only, 2 fast (hash-chain), 3 best (lazy).
 """
 from __future__ import annotations
 
+import os as _os
+
 import numpy as np
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache — the wavefront decoder's fused
+    programs compile in minutes on TPU but replay from cache in <1 s
+    (measured 60 s -> 0.55 s across processes on the axon backend)."""
+    try:
+        import jax
+
+        path = _os.environ.get(
+            "DEFLATE_TPU_COMPILE_CACHE",
+            _os.path.expanduser("~/.cache/deflate_tpu_jax"))
+        if path:
+            _os.makedirs(path, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:                      # pragma: no cover - best effort
+        pass
+
+
+_enable_compile_cache()
 
 from deflate_tpu.models import host_inflate as _hi
 from deflate_tpu.runtime import stitch as _stitch
