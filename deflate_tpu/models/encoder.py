@@ -290,8 +290,14 @@ def _emit_fields(block, blen, plan, choice, pad, bfinal):
     cnt_l = plan["hist_lit"].at[256].add(-1)        # sorted keys lack EOB
     e_lit_v, e_lit_l = _apply_table_sorted(plan["skey_l"], cnt_l[:286],
                                            lit_codes, lit_lens, 286)
-    e_dc_v, e_dc_l = _apply_table_sorted(plan["skey_d"], plan["hist_dist"],
-                                         dist_codes, dist_lens, 30)
+    # dist table apply: only 30 symbols and dcode is already arithmetic
+    # per position, so a 30-term select-chain (~90 elementwise ops) beats
+    # the sorted apply's cummax + restore sort (~3 ns/elem)
+    dpack = dist_codes[:30] | (dist_lens[:30] << 15)
+    dsel = jnp.zeros((N,), jnp.int32)
+    for s in range(30):
+        dsel = jnp.where(tk["dcode"] == s, dpack[s], dsel)
+    e_dc_v, e_dc_l = dsel & 0x7FFF, dsel >> 15
 
     live_tok = tk["mark"] & ~stored
     m = tk["is_match"]
@@ -322,6 +328,54 @@ def _emit_fields(block, blen, plan, choice, pad, bfinal):
                             fld << jnp.clip(sh - 32, 0, 31).astype(jnp.uint32))
         sh = sh + l
 
+    # --- hierarchical literal-run fusion: three halving levels fold up
+    # to 8 consecutive literal tokens into one <=64-bit packet.  The
+    # scalar-core packer costs ~12 ns PER PACKET regardless of width
+    # (ops/pallas_pack.py) and text blocks are literal runs, so this
+    # cuts the hottest encode stage up to 8x.  The bitstream emitted is
+    # unchanged; sh_sym keeps per-SYMBOL widths for the decode hints.
+    sh_sym = sh
+
+    def comp64(loA, hiA, sA, loB, hiB, sB):
+        """Concatenate packet B after packet A (sA + sB <= 64)."""
+        sAc = jnp.clip(sA, 0, 31).astype(jnp.uint32)
+        lt32 = sA < 32
+        loC = jnp.where(lt32, loA | (loB << sAc), loA)
+        spill = jnp.where(lt32 & (sA > 0),
+                          loB >> (jnp.uint32(32) - jnp.maximum(sAc, 1)),
+                          jnp.uint32(0))
+        hiC = hiA | jnp.where(lt32, spill | (hiB << sAc),
+                              loB << jnp.clip(sA - 32, 0, 31)
+                              .astype(jnp.uint32))
+        return loC, hiC, sA + sB
+
+    lr = live_tok & ~m & (sh > 0)                  # literal-run packets
+    # runw[i] = lanes covered by the packet at i; a fuse is legal only
+    # when the LEFT packet fully covers its half — otherwise a live
+    # match token hiding between the halves would be reordered
+    runw = lr.astype(jnp.int32)
+    for lvl in range(3):
+        w = 1 << lvl
+        loR = lo.reshape(-1, 2 * w)
+        hiR = hi.reshape(-1, 2 * w)
+        shR = sh.reshape(-1, 2 * w)
+        lrR = lr.reshape(-1, 2 * w)
+        lvR = live_tok.reshape(-1, 2 * w)
+        rwR = runw.reshape(-1, 2 * w)
+        can = (lrR[:, 0] & lrR[:, w] & (rwR[:, 0] == w)
+               & (shR[:, 0] + shR[:, w] <= 64))
+        loC, hiC, shC = comp64(loR[:, 0], hiR[:, 0], shR[:, 0],
+                               loR[:, w], hiR[:, w], shR[:, w])
+        lo = loR.at[:, 0].set(jnp.where(can, loC, loR[:, 0]))                  .at[:, w].set(jnp.where(can, 0, loR[:, w])).reshape(-1)
+        hi = hiR.at[:, 0].set(jnp.where(can, hiC, hiR[:, 0]))                  .at[:, w].set(jnp.where(can, 0, hiR[:, w])).reshape(-1)
+        sh = shR.at[:, 0].set(jnp.where(can, shC, shR[:, 0]))                  .at[:, w].set(jnp.where(can, 0, shR[:, w])).reshape(-1)
+        runw = rwR.at[:, 0].set(jnp.where(can, w + rwR[:, w],
+                                          rwR[:, 0])) \
+                   .at[:, w].set(jnp.where(can, 0, rwR[:, w])).reshape(-1)
+        lr = lrR.at[:, w].set(lrR[:, w] & ~can).reshape(-1)
+        live_tok = lvR.at[:, w].set(lvR[:, w] & ~can).reshape(-1)
+    n_live = jnp.sum(live_tok.astype(jnp.int32))
+
     # --- preamble + dynamic header entries -------------------------------
     btype = jnp.where(stored, 0, jnp.where(fixed, 1, 2))
     hdr3 = jnp.stack([bfinal.astype(jnp.int32) | (btype << 1),
@@ -338,7 +392,8 @@ def _emit_fields(block, blen, plan, choice, pad, bfinal):
     ev = (lit_codes[256].astype(jnp.uint32)
           & ((jnp.uint32(1) << eob_len.astype(jnp.uint32)) - 1))
 
-    return {"lo": lo, "hi": hi, "sh": sh, "live_tok": live_tok,
+    return {"lo": lo, "hi": hi, "sh": sh, "sh_sym": sh_sym,
+            "live_tok": live_tok, "n_live": n_live,
             "stored": stored, "hdr3": hdr3, "hdr3_l": hdr3_l,
             "hv": hv, "hl": hl, "eob_v": ev, "eob_len": eob_len,
             "ntok": tk["ntok"]}
@@ -387,10 +442,11 @@ def emit_block(block, blen, plan, choice, pad, bfinal):
                jnp.where(k1 == 1, bs[j - 1] if 0 <= j - 1 <= 2 else zero,
                          bs[j - 2] if 0 <= j - 2 <= 2 else zero))
 
-    W = [a0 | at(0), a1 | at(1), a2 | at(2), at(3)]
+    # 5 words: a fused-literal pair (60+60 bits) at phase 31 spans them
+    W = [a0 | at(0), a1 | at(1), a2 | at(2), at(3), at(4)]
     w0 = off0 >> 5
     words = hdr_words
-    for j in range(4):
+    for j in range(5):
         words = words.at[w0 + j].add(W[j], mode="drop")
 
     # --- end-of-block code ----------------------------------------------
@@ -422,16 +478,25 @@ def build_packets(block, blen, plan, choice, pad, bfinal):
     hdr_lo = jnp.concatenate([f["hdr3"], f["hv"]]).astype(jnp.int32) & hmask
     HD = hdr_lo.shape[0]
 
-    pos = jnp.arange(N, dtype=jnp.int32)
-    BIG = jnp.int32(1) << 20
-    key = jnp.concatenate([
-        jnp.where(f["live_tok"], pos, BIG + pos),
-        jnp.where(f["stored"], BIG + N, N)[None]])          # EOB slot
+    # compact live packets to the front with monotone log-shift routing
+    # (ops/wave.py) — replaces a 4-operand [N] sort (~3.8 ns/elem) with
+    # ~16 elementwise shift rounds (~0.2 ns/elem)
+    from deflate_tpu.ops.wave import route_monotone_left
+
+    live = jnp.concatenate([f["live_tok"], (~f["stored"])[None]])
     lo_t = jnp.concatenate([bc(f["lo"]), bc(f["eob_v"])[None]])
     hi_t = jnp.concatenate([bc(f["hi"]), jnp.zeros((1,), jnp.int32)])
     sh_t = jnp.concatenate([f["sh"], f["eob_len"][None]])
-    _, slo, shi, ssh = jax.lax.sort([key, lo_t, hi_t, sh_t],
-                                    dimension=0, num_keys=1)
+    lv = live.astype(jnp.int32)
+    rank = jnp.cumsum(lv) - lv
+    lane = jnp.arange(N + 1, dtype=jnp.int32)
+    delta = jnp.where(live, lane - rank, -1)
+    (slo, shi, ssh), dout = route_monotone_left(
+        [lo_t, hi_t, sh_t], delta, 16)
+    landed = dout == 0
+    slo = jnp.where(landed, slo, 0)
+    shi = jnp.where(landed, shi, 0)
+    ssh = jnp.where(landed, ssh, 0)
 
     z = jnp.zeros((NPK - HD - (N + 1),), jnp.int32)
     all_lo = jnp.concatenate([hdr_lo, slo, z])
@@ -439,7 +504,7 @@ def build_packets(block, blen, plan, choice, pad, bfinal):
     all_sh = jnp.concatenate([hdr_lens, ssh, z])
     off = jnp.cumsum(all_sh) - all_sh
     nbits = off[-1] + all_sh[-1]
-    count = HD + jnp.where(f["stored"], 0, f["ntok"] + 1)
+    count = HD + jnp.where(f["stored"], 0, f["n_live"] + 1)
     return (off.astype(jnp.int32), all_lo, all_hi,
             count.astype(jnp.int32), nbits, f["stored"])
 
@@ -670,7 +735,7 @@ def encode_batch_with_hints(blocks, blens, live, final_idx, level: int,
     def one(bl, ln, i, ch, pd, bf):
         f = _emit_fields(bl, ln, jax.tree.map(lambda x: x[i], plans),
                          ch, pd, bf)
-        return block_hints(f["sh"], f["stored"])
+        return block_hints(f["sh_sym"], f["stored"])
 
     hints = jax.vmap(one)(blocks, blens, jnp.arange(B), choice, pad,
                           bfinal)
