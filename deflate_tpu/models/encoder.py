@@ -101,8 +101,10 @@ def tokenize_block(block, blen, level: int):
         # best level: deep chains, 128-byte windows, large parse tiles —
         # beats the reference's level 3 on its corpus (3108 vs 3124 B on
         # test.bmp) at ~4x the fast level's cost
+        import os as _os2
         K = 4 if level == 2 else 48
-        ww = 8 if level == 2 else 32
+        ww = (int(_os2.environ.get("DT_WIN_WORDS", "8"))
+              if level == 2 else 32)
         tile = 512 if level == 2 else 2048
         length, dist = LZ.find_matches(block, blen, K, win_words=ww)
     else:

@@ -31,7 +31,7 @@ def wave_decode_filled(nw, hints, sizes, mdj, W64: int, npad: int,
     between the two kernels stays inside the jit."""
     n = nw.shape[0]
     litwords, rec0, rec1, nmatch, prod, e = W.wave_decode(
-        nw, hints, sizes, mdj, W64)
+        nw, hints, sizes, mdj, W64, interpret)
     recs = jnp.stack([rec0, rec1], axis=2).reshape(n, 2 * W.NM)
     if npad != n:
         litwords = jnp.pad(litwords, ((0, npad - n), (0, 0)))

@@ -60,7 +60,9 @@ from deflate_tpu.utils import tables as T
 I32 = jnp.int32
 HINT_NONE = 255          # hint sentinel: no symbol starts in this chunk
 MAXSYM_BITS = 48         # 15 (litlen) + 5 (len extra) + 15 (dist) + 13
-NS = 32768 + 128         # symbol-domain slots per block (<=32768 emitters)
+NS = 33 * 1024           # symbol-domain slots per block (<=32768 emitters
+                         # +1 EOB; 33x1024 keeps the routed axis divisible
+                         # by 8*128 for the Pallas routing kernel layout)
 ND = 32768               # output bytes per block
 NM = 11264               # match-record slots (>= 32768/3 + 1; 11*1024 for
                          # 1024-word-aligned DMA windows in wave_fill)
@@ -567,8 +569,9 @@ def resolve_litval(len_, r_rel, litmask):
     return (wq << 5) + select_bit32(word, jrel)
 
 
-@functools.partial(jax.jit, static_argnames=("W64",))
-def wave_decode(nwords, hints, out_expect, md, W64: int):
+@functools.partial(jax.jit, static_argnames=("W64", "interpret"))
+def wave_decode(nwords, hints, out_expect, md, W64: int,
+                interpret: bool = False):
     """Stages A-F on device for one bucket of B huffman blocks.
 
     nwords [B, 2*W64+4] normalized windows; hints [B, W64] int32;
@@ -616,9 +619,12 @@ def wave_decode(nwords, hints, out_expect, md, W64: int):
     ).reshape(B, S)
     symidx = flat(rank_rows) + jnp.repeat(sstart, 64, axis=1)
     delta = jnp.where(flat(mk), i_pos - symidx, -1)
+    from deflate_tpu.ops.wave_route import route_pallas
+
     rounds = int(S - 1).bit_length()
-    (P0, P1f), dout = route_monotone_left(
-        [flat(A0), flat(P1)], delta, rounds)
+    (P0, P1f), dout = route_pallas(
+        [flat(A0), flat(P1)], delta, rounds, left=True,
+        interpret=interpret)
     if S < NS:
         pad = NS - S
         P0 = jnp.pad(P0, ((0, 0), (0, pad)))
@@ -642,15 +648,17 @@ def wave_decode(nwords, hints, out_expect, md, W64: int):
     # ---- match records: compact to [B, NM] ---------------------------
     j_sym = jnp.broadcast_to(jnp.arange(NS, dtype=I32)[None], (B, NS))
     d4 = jnp.where(is_m_s, j_sym - mi, -1)
-    (rec0, rec1), d4o = route_monotone_left(
-        [opos | (X << 16), P1f], d4, int(NS - 1).bit_length())
+    (rec0, rec1), d4o = route_pallas(
+        [opos | (X << 16), P1f], d4, int(NS - 1).bit_length(),
+        left=True, interpret=interpret)
     rec0 = jnp.where(d4o[:, :NM] == 0, rec0[:, :NM], -1)
     rec1 = jnp.where(d4o[:, :NM] == 0, rec1[:, :NM], 0)
 
     # ---- stage F: place literal bytes at output offsets --------------
     d2 = jnp.where(is_lit_s, opos - j_sym, -1)
-    (vout,), d2o = route_monotone_right(
-        [litval], d2, int(NS - 1).bit_length())
+    (vout,), d2o = route_pallas(
+        [litval], d2, int(NS - 1).bit_length(), left=False,
+        interpret=interpret)
     lit_b = jnp.where(d2o == 0, vout, 0)[:, :ND]
     lb = lit_b.reshape(B, ND // 4, 4)
     litwords = (lb[:, :, 0] | (lb[:, :, 1] << 8)

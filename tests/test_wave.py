@@ -241,7 +241,7 @@ def test_wave_decode_end_to_end():
     exp[-1] = len(data) - (B - 1) * BLOCK_SIZE
     litwords, rec0, rec1, nmatch, produced, err = W.wave_decode(
         jnp.asarray(nwords), jnp.asarray(hints[:, :W64], np.int32),
-        jnp.asarray(exp, np.int32), mdj, W64)
+        jnp.asarray(exp, np.int32), mdj, W64, interpret=True)
     err = np.asarray(err)
     produced = np.asarray(produced)
     assert not err.any(), err
@@ -278,7 +278,7 @@ def test_wave_decode_detects_corruption():
     nwords = W.prepare_windows(bytes(bad), md["data_start"], W64)
     *_, err = W.wave_decode(
         jnp.asarray(nwords), jnp.asarray(hints[:, :W64], np.int32),
-        jnp.asarray(exp, np.int32), mdj, W64)
+        jnp.asarray(exp, np.int32), mdj, W64, interpret=True)
     assert np.asarray(err)[0], "corruption must surface in err flag"
 
 
