@@ -106,7 +106,9 @@ def tokenize_block(block, blen, level: int):
         ww = (int(_os2.environ.get("DT_WIN_WORDS", "8"))
               if level == 2 else 32)
         tile = 512 if level == 2 else 2048
-        length, dist = LZ.find_matches(block, blen, K, win_words=ww)
+        tiers = () if level == 2 else (2, 4)
+        length, dist = LZ.find_matches(block, blen, K, win_words=ww,
+                                       tiers=tiers)
     else:
         length = jnp.zeros((N,), jnp.int32)
         dist = jnp.zeros((N,), jnp.int32)

@@ -92,7 +92,7 @@ def _xor_bytes_eq(x: jax.Array) -> jax.Array:
 
 
 def find_matches(block: jax.Array, blen: jax.Array, num_cands: int,
-                 win_words: int = WIN_WORDS):
+                 win_words: int = WIN_WORDS, tiers: tuple = ()):
     """Best match (length, distance) at every position of one block.
 
     block: uint8 [n] (n = BLOCK_SIZE, zero padding past blen)
@@ -129,60 +129,77 @@ def find_matches(block: jax.Array, blen: jax.Array, num_cands: int,
 
     iw = jnp.arange(nw, dtype=jnp.int32)
     pos_pm = jnp.concatenate([4 * iw + p for p in range(4)])
-    h = _hash15(wins[0] & jnp.uint32(0x00FFFFFF))
     valid = pos_pm < blen - (MIN_MATCH - 1)
-    key = jnp.where(valid, (h << 15) | pos_pm, (1 << 30) + pos_pm)
-
-    sorted_ops = jax.lax.sort([key] + wins, dimension=0, num_keys=1)
-    skey, swins = sorted_ops[0], sorted_ops[1:]
-    spos = skey & 0x7FFF
-    shash = skey >> 15
-    svalid = (skey < (1 << 30)).astype(jnp.int32)
-    slimit = jnp.minimum(MAX_MATCH, blen - spos)
-
     K = num_cands
 
-    def lag_body(shift_k, carry):
-        best_l, best_d = carry
-        same = ((shash == shift_k(shash, -1)).astype(jnp.int32)
-                * svalid * shift_k(svalid, 0))
-        dist = spos - shift_k(spos, 0)
-        # exact match length via first differing window word
-        L = jnp.zeros((n,), jnp.int32)
-        run = jnp.ones((n,), jnp.int32)
-        for j in range(win_words):
-            x = swins[j] ^ shift_k(swins[j], jnp.uint32(0))
-            L = L + run * _xor_bytes_eq(x)
-            run = run * (x == 0).astype(jnp.int32)
-        L = jnp.minimum(L, slimit) * same
-        L = jnp.where((L == MIN_MATCH) & (dist > 4096), 0, L)  # too-far
-        better = L > best_l
-        return (jnp.where(better, L, best_l),
-                jnp.where(better, dist, best_d))
+    def tier_pass(h):
+        """One hash-chain pass: co-sort by (h, pos), compare K lagged
+        windows, restore position order.  Returns (length, dist) [n]."""
+        key = jnp.where(valid, (h << 15) | pos_pm, (1 << 30) + pos_pm)
+        sorted_ops = jax.lax.sort([key] + wins, dimension=0, num_keys=1)
+        skey, swins = sorted_ops[0], sorted_ops[1:]
+        spos = skey & 0x7FFF
+        shash = skey >> 15
+        svalid = (skey < (1 << 30)).astype(jnp.int32)
+        slimit = jnp.minimum(MAX_MATCH, blen - spos)
 
-    init = (jnp.zeros((n,), jnp.int32), jnp.zeros((n,), jnp.int32))
-    if K <= 8:
-        # small chain depth: unroll with static shifts
-        best = init
-        for k in range(1, K + 1):
-            best = lag_body(
-                lambda a, fill, k=k: _shift_back(a, k, fill), best)
-    else:
-        # deep chains (best level): one rolled loop keeps the graph small
-        # (K=48 x 32 window words unrolled costs minutes of XLA compile)
-        def body(k, best):
-            def shift_k(a, fill):
-                pad = jnp.concatenate(
-                    [jnp.full((K,), fill, a.dtype), a])
-                return jax.lax.dynamic_slice(pad, (K - k,), (n,))
-            return lag_body(shift_k, best)
+        def lag_body(shift_k, carry):
+            best_l, best_d = carry
+            same = ((shash == shift_k(shash, -1)).astype(jnp.int32)
+                    * svalid * shift_k(svalid, 0))
+            dist = spos - shift_k(spos, 0)
+            # exact match length via first differing window word
+            L = jnp.zeros((n,), jnp.int32)
+            run = jnp.ones((n,), jnp.int32)
+            for j in range(win_words):
+                x = swins[j] ^ shift_k(swins[j], jnp.uint32(0))
+                L = L + run * _xor_bytes_eq(x)
+                run = run * (x == 0).astype(jnp.int32)
+            L = jnp.minimum(L, slimit) * same
+            L = jnp.where((L == MIN_MATCH) & (dist > 4096), 0, L)
+            better = L > best_l
+            return (jnp.where(better, L, best_l),
+                    jnp.where(better, dist, best_d))
 
-        best = jax.lax.fori_loop(1, K + 1, body, init)
-    best_l, best_d = best
+        init = (jnp.zeros((n,), jnp.int32), jnp.zeros((n,), jnp.int32))
+        if K <= 8:
+            # small chain depth: unroll with static shifts
+            best = init
+            for k in range(1, K + 1):
+                best = lag_body(
+                    lambda a, fill, k=k: _shift_back(a, k, fill), best)
+        else:
+            # deep chains (best level): one rolled loop keeps the graph
+            # small (K=48 x 32 words unrolled costs minutes of compile)
+            def body(k, best):
+                def shift_k(a, fill):
+                    pad = jnp.concatenate(
+                        [jnp.full((K,), fill, a.dtype), a])
+                    return jax.lax.dynamic_slice(pad, (K - k,), (n,))
+                return lag_body(shift_k, best)
 
-    # restore position order: spos is a permutation of 0..n-1
-    _, length, dist = jax.lax.sort([spos, best_l, best_d],
-                                   dimension=0, num_keys=1)
+            best = jax.lax.fori_loop(1, K + 1, body, init)
+        best_l, best_d = best
+        # restore position order: spos is a permutation of 0..n-1
+        _, length, dist = jax.lax.sort([spos, best_l, best_d],
+                                       dimension=0, num_keys=1)
+        return length, dist
+
+    # tiered hash chains (zlib walks one 3-byte chain thousands of
+    # candidates deep; with K sorted-adjacent candidates per chain we
+    # instead hash LONGER grams so long matches are near neighbors in
+    # their own chain — the fix for repetitive text, where a 3-byte
+    # chain's K nearest candidates are all short matches)
+    length, dist = tier_pass(_hash15(wins[0] & jnp.uint32(0x00FFFFFF)))
+    for g in tiers:
+        m = wins[0]
+        for j in range(1, g):
+            m = m ^ ((wins[j] << (5 * j)) | (wins[j] >> (32 - 5 * j)))
+        tl, td = tier_pass(_hash15(m))
+        better = (tl > length) | ((tl == length) & (td > 0)
+                                  & ((dist == 0) | (td < dist)))
+        length = jnp.where(better, tl, length)
+        dist = jnp.where(better, td, dist)
 
     # ---- merge-extension: compose verified window-sized pieces --------
     # linked[i]: the match at i fills its window AND i+cap continues at the

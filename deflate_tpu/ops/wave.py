@@ -50,6 +50,7 @@ or the host runtime.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -619,7 +620,13 @@ def wave_decode(nwords, hints, out_expect, md, W64: int,
     ).reshape(B, S)
     symidx = flat(rank_rows) + jnp.repeat(sstart, 64, axis=1)
     delta = jnp.where(flat(mk), i_pos - symidx, -1)
-    from deflate_tpu.ops.wave_route import route_pallas
+    from deflate_tpu.ops.wave_route import route_pallas as _rp
+    if bool(int(os.environ.get("DT_ROUTE_PALLAS", "1"))):
+        route_pallas = _rp
+    else:
+        def route_pallas(p, d, r, left=True, interpret=False):
+            f = route_monotone_left if left else route_monotone_right
+            return f(p, d, r)
 
     rounds = int(S - 1).bit_length()
     (P0, P1f), dout = route_pallas(

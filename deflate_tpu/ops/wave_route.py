@@ -87,6 +87,8 @@ def _route_call(payloads, delta, rounds: int, left: bool,
         out_specs=[bs] * (P + 1),
         out_shape=[jax.ShapeDtypeStruct((B, 8, L8), jnp.int32)] * (P + 1),
         input_output_aliases={i: i for i in range(P + 1)},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     return ([o.reshape(B, L) for o in outs[:P]], outs[P].reshape(B, L))

@@ -79,8 +79,23 @@ def test_compression_beats_reference_sizes():
     assert len(enc3) <= 67                      # reference L3: 67 B
     test_bmp = open("/root/reference/test.bmp", "rb").read()
     enc3 = deflate_tpu.compress(test_bmp, 3)
-    assert len(enc3) <= 3346                    # track: ref L3 is 3124 B
+    # tiered-chain matcher: 2976 B < ref L3 3124 B, within 2.3% of
+    # zlib-9's 2910 (VERDICT r1 #4 bar: <= 2980)
+    assert len(enc3) <= 2980
     assert zlib.decompress(enc3, wbits=-15) == test_bmp
+
+
+def test_text_ratio_within_2pct_of_zlib9():
+    """VERDICT r1 #4: 100 KB synthetic text within 2% of zlib-9."""
+    rng = np.random.default_rng(0)
+    words = rng.integers(32, 127, (100000 // 8, 6), dtype=np.uint8)
+    text = np.concatenate(
+        [np.concatenate([w, np.array([32, 32], np.uint8)])
+         for w in words])[:100000].tobytes()
+    z9 = len(zlib.compress(text, 9)) - 6
+    l3 = len(deflate_tpu.compress(text, 3))
+    assert zlib.decompress(deflate_tpu.compress(text, 3), -15) == text
+    assert l3 <= z9 * 1.02, (l3, z9)
 
 
 def test_reference_corpus_zlib_containers():
