@@ -198,6 +198,11 @@ def main():
             "ratio": round(ratio, 4),
             "host_decode_mbps": host_decode_mbps,
             "device_decode_mbps": device_decode_mbps,
+            "device_decode_note": "wavefront VPU decoder over manifest-v2 "
+                                  "per-chunk hints (encoder-emitted); "
+                                  "output verified == corpus; stored "
+                                  "blocks (random quarter) decode as "
+                                  "byte-aligned window copies",
             "encode_L3_mbps": encode_l3_mbps,
             "ratio_L3_1MiB": ratio_l3,
             "scaling": scaling,
