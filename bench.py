@@ -80,11 +80,17 @@ def main():
     assert zlib.decompress(encoded, -15) == corpus, "round trip failed"
 
     _mark("timing L2 encode")
+    # Sustained throughput: dispatch all iterations back-to-back, force
+    # full execution with ONE scalar d2h at the end (the decode loop's
+    # methodology).  Syncing a scalar per iteration adds ~26 ms of dev
+    # tunnel round-trip per iteration — tunnel latency, not chip compute
+    # (measured: 195.3 ms/iter per-iter-sync vs 169.5 ms/iter pipelined,
+    # experiments/mb_pipeline.py).
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         _, _, _, s = step(blocks)
-        _ = int(s)                                 # forces full execution
+    _ = int(s)                                     # forces full execution
     dt = (time.perf_counter() - t0) / iters
 
     mbps = nbytes / dt / 1e6
@@ -173,7 +179,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(3):
             _, _, s3 = step3(bl3)
-            _ = int(s3)
+        _ = int(s3)
         encode_l3_mbps = round(L3_BLOCKS * BLOCK_SIZE
                                / ((time.perf_counter() - t0) / 3) / 1e6, 2)
         ratio_l3 = round(len(enc3) / (L3_BLOCKS * BLOCK_SIZE), 4)
