@@ -66,7 +66,7 @@ def apply_rank(sym, lens):
     # first_code[L] = (first_code[L-1] + blc[L-1]) << 1, fc[1] = 0
     def stepf(c, x):
         nc = (c + x) << 1
-        return nc, c
+        return nc, nc
     _, fc = jax.lax.scan(stepf, jnp.int32(0),
                          jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                           blc[:14]]))
@@ -92,7 +92,7 @@ def apply_rank(sym, lens):
         mword = jnp.where(hit, mw, mword)
         cv = jnp.where(hit, cw, cv)
     code = cv + popcount32(mword & low).astype(jnp.int32)
-    return code, lenv
+    return H.bit_reverse(code, lenv), lenv
 
 
 def timeit(name, fn, *args, reps=5):
