@@ -368,51 +368,48 @@ def build_peeks(nwords, W64: int):
     return (jnp.stack(pk_rows, axis=1), jnp.stack(pkh_rows, axis=1))
 
 
-def _canon_decode(PK, lim, first, base_unused, extras):
+def _canon_decode(PK, g, lim_key, first_key, extra_keys):
     """Compare-based canonical decode at every position.
 
-    PK: [B, 64, W64] peek windows (code bits MSB-of-code-first per RFC
-    1951 §3.1.1).  lim/first: [B, 16] per-length scalars.  extras: list
-    of [B, 16] arrays whose length-l column is selected where the code
-    length resolves to l.  Returns (found, len_, r_rel, *sel) with
-    r_rel = rank within the length class.
+    PK: peek windows (code bits MSB-of-code-first per RFC 1951 §3.1.1).
+    g(key, l): the per-block md scalar for code length l, broadcastable
+    against PK — supplied by the XLA wrapper (decode_positions) or the
+    Pallas kernel's SMEM reader (ops/wave_stagea.py).  extra_keys: md
+    arrays whose length-l entry is selected where the code length
+    resolves to l.  Returns (found, len_, r_rel, sels) with r_rel = rank
+    within the length class.
     """
-    B = PK.shape[0]
     z = jnp.zeros(PK.shape, I32)
     c = z
     found = jnp.zeros(PK.shape, bool)
     len_ = z
     r_rel = z
-    sels = [z for _ in extras]
-
-    def col(a, l):
-        return a[:, l].astype(I32).reshape(B, 1, 1)
+    sels = [z for _ in extra_keys]
 
     for l in range(1, 16):
         c = (c << 1) | (_srl(PK, l - 1) & 1)
-        hit = (~found) & (c < col(lim, l))
+        hit = (~found) & (c < g(lim_key, l))
         len_ = jnp.where(hit, l, len_)
-        r_rel = jnp.where(hit, c - col(first, l), r_rel)
-        for i, e in enumerate(extras):
-            sels[i] = jnp.where(hit, col(e, i * 0 + l), sels[i])
+        r_rel = jnp.where(hit, c - g(first_key, l), r_rel)
+        for i, k in enumerate(extra_keys):
+            sels[i] = jnp.where(hit, g(k, l), sels[i])
         found = found | hit
     return found, len_, r_rel, sels
 
 
-def decode_positions(nwords, md, W64: int):
-    """Stage A: the full speculative token decode at every bit position.
+def decode_core(PK, PKH, g):
+    """Stage-A math on peek windows — shape-polymorphic elementwise core
+    shared by the XLA path (decode_positions, [B, 64, W64] operands) and
+    the Pallas kernel (ops/wave_stagea.py, [64, TW] VMEM tiles).
 
-    Returns two packed [B, 64, W64] int32 arrays (narrow outputs keep
-    the pipeline HBM-bandwidth-lean — the measured bottleneck):
+    Returns two packed int32 arrays shaped like PK:
       A0 = advance(6) | emit(9)<<6 | class(2)<<15 | X(9)<<17 | len(4)<<26
            where X = r_rel for literals (value resolve) and length-3
            for matches; class: 0=lit 1=match 2=EOB 3=invalid.
       P1 = dist(15).
     """
-    PK, PKH = build_peeks(nwords, W64)
-
     found, len_, r_rel, (metasel, masksel) = _canon_decode(
-        PK, md["l_lim"], md["l_first"], None, [md["l_meta"], md["l_mask"]])
+        PK, g, "l_lim", "l_first", ["l_meta", "l_mask"])
 
     nlit = metasel & 0x1FF
     has_eob = _srl(metasel, 9) & 1
@@ -437,7 +434,7 @@ def decode_positions(nwords, md, W64: int):
     a1c = jnp.clip(adv1, 1, 24)
     pk2 = _srl(PK, a1c) | (PKH << (32 - a1c))
     dfound, dlen, dr_rel, (dmasksel,) = _canon_decode(
-        pk2, md["d_lim"], md["d_first"], None, [md["d_mask"]])
+        pk2, g, "d_lim", "d_first", ["d_mask"])
     dsym = select_bit32(dmasksel, dr_rel)                  # 0..29
     dh = jnp.clip(_srl(dsym, 1) - 1, 0, 13)
     debits = jnp.where(dsym < 4, 0, dh)
@@ -455,6 +452,19 @@ def decode_positions(nwords, md, W64: int):
     X = jnp.where(is_m, jnp.clip(length - 3, 0, 255), r_rel)
     A0 = (advance | (emit << 6) | (cls << 15) | (X << 17) | (len_ << 26))
     return A0, dist
+
+
+def decode_positions(nwords, md, W64: int):
+    """Stage A, XLA backend: speculative decode at every bit position.
+
+    Returns A0, P1 each [B, 64, W64] int32 (decode_core packing)."""
+    PK, PKH = build_peeks(nwords, W64)
+    B = PK.shape[0]
+
+    def g(key, l):
+        return md[key][:, l].astype(I32).reshape(B, 1, 1)
+
+    return decode_core(PK, PKH, g)
 
 
 # ====================== window prep =======================================
@@ -584,7 +594,12 @@ def wave_decode(nwords, hints, out_expect, md, W64: int,
     dist); nmatch [B]; produced [B]; err [B] int32).
     """
     B, S = nwords.shape[0], 64 * W64
-    A0, P1 = decode_positions(nwords, md, W64)
+    if bool(int(os.environ.get("DT_STAGEA_PALLAS", "1"))):
+        from deflate_tpu.ops.wave_stagea import decode_positions_pallas
+        A0, P1 = decode_positions_pallas(nwords, md, W64,
+                                         interpret=interpret)
+    else:
+        A0, P1 = decode_positions(nwords, md, W64)
     sums, rank_rows = chunk_automaton(A0, hints, W64)
     sstart = _exclusive(sums["sum_cnt"])
     produced = jnp.sum(sums["sum_emit"], axis=1)

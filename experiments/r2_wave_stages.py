@@ -69,8 +69,15 @@ def main():
     P = functools.partial
 
     dp = jax.jit(P(W.decode_positions, W64=W64))
-    timeit("A decode_positions", dp, nw, mdj)
+    timeit("A decode_positions (XLA)", dp, nw, mdj)
     A0, P1 = dp(nw, mdj)
+
+    from deflate_tpu.ops.wave_stagea import decode_positions_pallas
+    dpp = P(decode_positions_pallas, W64=W64)
+    timeit("A decode_positions (Pallas)", dpp, nw, mdj)
+    A0p, P1p = dpp(nw, mdj)
+    same = bool(jnp.array_equal(A0, A0p) & jnp.array_equal(P1, P1p))
+    print(f"   pallas == xla: {same}", flush=True)
 
     au = jax.jit(P(W.chunk_automaton, W64=W64))
     timeit("B automaton+rank", au, A0, hsj)

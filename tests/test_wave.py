@@ -367,3 +367,26 @@ def test_manifest_v2_wave_roundtrip():
     # hintless (v1-style) manifests still decode via the host path
     man_v1 = M.Manifest(man.block_size, man.total_bits, man.blocks, None)
     assert M.decode_all(stream, man_v1, device=False) == data
+
+
+def test_stagea_pallas_equivalence():
+    """ops/wave_stagea.py (Pallas, interpret) is bit-exact vs the XLA
+    stage A (wave.decode_positions) on a real encoded stream."""
+    from deflate_tpu.ops.wave_stagea import decode_positions_pallas
+
+    rng = np.random.default_rng(7)
+    data = (rng.integers(97, 123, 50000, dtype=np.uint8).tobytes()
+            + np.tile(rng.integers(0, 256, 97, dtype=np.uint8),
+                      400).tobytes()
+            + b"a" * 40000)
+    stream, offs = _encode_own(data)
+    md = W.parse_headers_host(stream, offs)
+    _, span = W.hints_from_walk_host(stream, offs)
+    W64 = int(-(-int(span.max()) // 64 // 128) * 128)
+    nwords = jnp.asarray(W.prepare_windows(stream, md["data_start"], W64))
+    mdj = {k: jnp.asarray(v) for k, v in md.items()
+           if k.startswith(("l_", "d_"))}
+    A0x, P1x = W.decode_positions(nwords, mdj, W64)
+    A0p, P1p = decode_positions_pallas(nwords, mdj, W64, interpret=True)
+    assert (np.asarray(A0x) == np.asarray(A0p)).all()
+    assert (np.asarray(P1x) == np.asarray(P1p)).all()
