@@ -112,6 +112,7 @@ def main():
     # Timed device-only via a device-side scalar reduce (d2h of the
     # 8 MiB payload would measure the dev tunnel, not the chip).
     device_decode_mbps = None
+    device_decode_error = None
     try:
         if time.perf_counter() - _T0 > 420:
             raise TimeoutError("bench budget: skipping device decode")
@@ -154,7 +155,8 @@ def main():
         ddt = (time.perf_counter() - t0) / 3
         device_decode_mbps = round(nbytes / ddt / 1e6, 1)
     except Exception as e:
-        _mark(f"device decode skipped: {type(e).__name__}: {e}")
+        device_decode_error = f"{type(e).__name__}: {e}"
+        _mark(f"device decode skipped: {device_decode_error}")
     # secondary: L3 ("best") encode throughput on a 1 MiB slice
     encode_l3_mbps = ratio_l3 = None
     try:
@@ -204,6 +206,7 @@ def main():
             "ratio": round(ratio, 4),
             "host_decode_mbps": host_decode_mbps,
             "device_decode_mbps": device_decode_mbps,
+            "device_decode_error": device_decode_error,
             "device_decode_note": "wavefront VPU decoder over manifest-v2 "
                                   "per-chunk hints (encoder-emitted); "
                                   "output verified == corpus; stored "

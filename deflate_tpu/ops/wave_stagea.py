@@ -38,8 +38,8 @@ def stack_md(md) -> jax.Array:
 def _kernel(we_ref, wo_ref, w2_ref, w3_ref, md_ref, a0_ref, p1_ref,
             *, TW: int):
     srl = jax.lax.shift_right_logical
-    we, wo = we_ref[0][None, :], wo_ref[0][None, :]
-    w2, w3 = w2_ref[0][None, :], w3_ref[0][None, :]
+    we, wo = we_ref[0], wo_ref[0]          # [1, TW] each
+    w2, w3 = w2_ref[0], w3_ref[0]
     p = jax.lax.broadcasted_iota(jnp.int32, (64, TW), 0)
     pm = p & 31
     sel = p >= 32
@@ -66,13 +66,17 @@ def decode_positions_pallas(nwords, md, W64: int,
     """Drop-in for wave.decode_positions: A0, P1 each [B, 64, W64]."""
     B = nwords.shape[0]
     TW = next(t for t in (512, 256, 128) if W64 % t == 0)
-    we = nwords[:, 0:2 * W64:2]
-    wo = nwords[:, 1:2 * W64 + 1:2]
-    w2 = nwords[:, 2:2 * W64 + 2:2]
-    w3 = nwords[:, 3:2 * W64 + 3:2]
+    # Inputs carried as [B, 1, W64]: Mosaic requires each block's last
+    # two dims be (mult of 8, mult of 128) OR equal to the array dims —
+    # a (1, 1, TW) block over [B, 1, W64] satisfies it (1 == 1, TW%128
+    # == 0), whereas a (1, TW) block over [B, W64] does not for B > 1.
+    we = nwords[:, 0:2 * W64:2][:, None, :]
+    wo = nwords[:, 1:2 * W64 + 1:2][:, None, :]
+    w2 = nwords[:, 2:2 * W64 + 2:2][:, None, :]
+    w3 = nwords[:, 3:2 * W64 + 3:2][:, None, :]
     mds = stack_md(md)
 
-    ws = pl.BlockSpec((1, TW), lambda b, j: (b, j),
+    ws = pl.BlockSpec((1, 1, TW), lambda b, j: (b, 0, j),
                       memory_space=pltpu.VMEM)
     ms = pl.BlockSpec((1, len(MD_KEYS), 16), lambda b, j: (b, 0, 0),
                       memory_space=pltpu.SMEM)
