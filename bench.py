@@ -112,6 +112,7 @@ def main():
     # Timed device-only via a device-side scalar reduce (d2h of the
     # 8 MiB payload would measure the dev tunnel, not the chip).
     device_decode_mbps = None
+    device_decode_e2e_mbps = None
     device_decode_error = None
     try:
         if time.perf_counter() - _T0 > 420:
@@ -135,15 +136,11 @@ def main():
         prep, calls = WD.prepare_bucketed(encoded, offs, sizes, hints)
 
         def dstep():
-            outs = []
-            for sel, nw, hs, sz, mdj, W64, npad in calls:
-                filled, prod, e = WD.wave_decode_filled(
-                    nw, hs, sz, mdj, W64, npad)
-                outs.append((filled, e))
-            return outs
+            return [WD.wave_decode_packed(buf, W64, n, npad, off=off)
+                    for _, (buf, off), W64, n, npad in calls]
 
         def syncv(outs):
-            return int(jnp.sum(outs[-1][0][:, 0]) + jnp.sum(outs[-1][1]))
+            return int(jnp.sum(outs[-1][:, 0]) + jnp.sum(outs[-1][:, -1]))
 
         _mark("timing device decode")
         outs = dstep()
@@ -154,6 +151,17 @@ def main():
         syncv(outs)
         ddt = (time.perf_counter() - t0) / 3
         device_decode_mbps = round(nbytes / ddt / 1e6, 1)
+
+        # end-to-end: stream bytes in -> verified bytes out, including
+        # host prep (header parse, windows, packing), the h2d/d2h
+        # transfers over the dev tunnel, and host reassembly
+        _mark("timing device decode e2e")
+        t0 = time.perf_counter()
+        for _ in range(2):
+            got, derr = WD.inflate_wave(encoded, offs, sizes, hints)
+        e2edt = (time.perf_counter() - t0) / 2
+        assert got == corpus and not derr.any()
+        device_decode_e2e_mbps = round(nbytes / e2edt / 1e6, 1)
     except Exception as e:
         device_decode_error = f"{type(e).__name__}: {e}"
         _mark(f"device decode skipped: {device_decode_error}")
@@ -206,6 +214,7 @@ def main():
             "ratio": round(ratio, 4),
             "host_decode_mbps": host_decode_mbps,
             "device_decode_mbps": device_decode_mbps,
+            "device_decode_e2e_mbps": device_decode_e2e_mbps,
             "device_decode_error": device_decode_error,
             "device_decode_note": "wavefront VPU decoder over manifest-v2 "
                                   "per-chunk hints (encoder-emitted); "

@@ -29,6 +29,12 @@ def wave_decode_filled(nw, hints, sizes, mdj, W64: int, npad: int,
     """wave_decode + match fill in ONE jitted program — eager glue ops
     cost ~30 ms each on the axon tunnel (CLAUDE.md), so everything
     between the two kernels stays inside the jit."""
+    return _decode_filled_core(nw, hints, sizes, mdj, W64, npad,
+                               interpret)
+
+
+def _decode_filled_core(nw, hints, sizes, mdj, W64: int, npad: int,
+                        interpret: bool = False):
     n = nw.shape[0]
     litwords, rec0, rec1, nmatch, prod, e = W.wave_decode(
         nw, hints, sizes, mdj, W64, interpret)
@@ -45,13 +51,80 @@ def wave_decode_filled(nw, hints, sizes, mdj, W64: int, npad: int,
 BUCKETS = (512, 1024, 1536, 2048, 2560, 3072, 3584, 4224)   # W64 sizes
 # (span/64, lane-aligned; fine steps — stage cost scales with the bucket)
 
+# ---- single-transfer call packing ----------------------------------------
+# Every h2d on the axon tunnel costs ~10-26 ms of round-trip latency
+# regardless of size, so a bucket's 13 operand arrays (windows, hints,
+# sizes, 10 metadata arrays) are packed into ONE int32 buffer on the
+# host and sliced back apart inside the jit (static offsets).
+MD_KEYS9 = ("l_lim", "l_first", "l_base", "l_meta", "l_mask",
+            "d_lim", "d_first", "d_base", "d_mask")
+
+
+def _bucket_words(W64: int, n: int) -> int:
+    return n * (2 * W64 + 4) + n * (W64 // 4) + n + n * 272
+
+
+def _pack_bucket(nw, hsel, sizes, md, sel):
+    """One contiguous int32 buffer: nw | hint bytes | sizes | md | litmask."""
+    n = len(sel)
+    parts = [np.ascontiguousarray(nw, np.int32).ravel(),
+             np.ascontiguousarray(hsel, np.uint8).view("<i4").ravel(),
+             np.asarray(sizes, np.int32)]
+    for k in MD_KEYS9:
+        parts.append(np.ascontiguousarray(md[k][sel], np.int32).ravel())
+    parts.append(np.ascontiguousarray(md["l_litmask"][sel],
+                                      np.int32).ravel())
+    return np.concatenate(parts)
+
+
+def _unpack_bucket(packed, W64: int, n: int):
+    c = 2 * W64 + 4
+    o0 = n * c
+    nw = packed[:o0].reshape(n, c)
+    o1 = o0 + n * (W64 // 4)
+    hw = packed[o0:o1].reshape(n, W64 // 4)
+    hints = jnp.stack([(jax.lax.shift_right_logical(hw, 8 * k)) & 255
+                       for k in range(4)], axis=2).reshape(n, W64)
+    o2 = o1 + n
+    sizes = packed[o1:o2]
+    mdj = {}
+    off = o2
+    for k in MD_KEYS9:
+        mdj[k] = packed[off:off + 16 * n].reshape(n, 16)
+        off += 16 * n
+    mdj["l_litmask"] = packed[off:off + 128 * n].reshape(n, 16, 8)
+    return nw, hints, sizes, mdj
+
+
+@functools.partial(jax.jit, static_argnames=("off", "W64", "n", "npad",
+                                             "interpret"))
+def wave_decode_packed(packed, W64: int, n: int, npad: int,
+                       interpret: bool = False, off: int = 0):
+    """wave_decode_filled over a packed single-transfer operand buffer.
+
+    packed may be the shared all-buckets buffer; off is this bucket's
+    static word offset within it.  Returns ONE [n, OW+2] int32 array
+    (filled words | produced | err) so the caller needs a single d2h
+    per bucket."""
+    if off:
+        packed = jax.lax.slice_in_dim(packed, off,
+                                      off + _bucket_words(W64, n))
+    nw, hints, sizes, mdj = _unpack_bucket(packed, W64, n)
+    filled, prod, e = _decode_filled_core(nw, hints, sizes, mdj, W64,
+                                          npad, interpret)
+    return jnp.concatenate(
+        [filled, prod[:, None].astype(jnp.int32),
+         e[:, None].astype(jnp.int32)], axis=1)
+
 
 def prepare_bucketed(stream: bytes, bit_offsets, out_sizes, hints=None):
     """Host prep shared by the driver and the benchmarks: header parse,
     stored/huffman split, span bucketing, window extraction.
 
-    Returns (prep dict, calls) where each call is (sel, nw, hints, sizes,
-    mdj, W64, npad) ready for wave_decode_filled."""
+    Returns (prep dict, calls) where each call is (sel, (buf, off),
+    W64, n, npad) ready for wave_decode_packed — buf is the shared
+    single-h2d operand buffer (already on device) and off the bucket's
+    static word offset within it."""
     bit_offsets = np.asarray(bit_offsets, np.int64)
     out_sizes = np.asarray(out_sizes, np.int64)
     B = len(bit_offsets)
@@ -79,6 +152,7 @@ def prepare_bucketed(stream: bytes, bit_offsets, out_sizes, hints=None):
     hidx_all = hidx_all[~overflow]
     need = -(-span[hidx_all] // 64)
     calls = []
+    bufs = []
     for W64 in BUCKETS:
         sel = hidx_all[(need <= W64)
                        & (need > (BUCKETS[BUCKETS.index(W64) - 1]
@@ -89,22 +163,31 @@ def prepare_bucketed(stream: bytes, bit_offsets, out_sizes, hints=None):
         hsel = np.full((len(sel), W64), W.HINT_NONE, np.uint8)
         hav = min(W64, hints.shape[1])
         hsel[:, :hav] = hints[sel][:, :hav]
-        mdj = {k: jnp.asarray(v[sel]) for k, v in md.items()
-               if k.startswith(("l_", "d_"))}
         n = len(sel)
         npad = -(-n // WF.K) * WF.K            # fill kernel cell multiple
-        calls.append((sel, jnp.asarray(nw),
-                      jnp.asarray(hsel, jnp.int32),
-                      jnp.asarray(out_sizes[sel], jnp.int32), mdj, W64,
-                      npad))
+        packed = _pack_bucket(nw, hsel, out_sizes[sel], md, sel)
+        calls.append([sel, None, W64, n, npad])
+        bufs.append(packed)
+    if calls:
+        # ONE h2d for every bucket: the shared buffer is sliced back
+        # apart at static offsets inside each bucket's jit
+        shared = jnp.asarray(np.concatenate(bufs))
+        off = 0
+        for c, buf in zip(calls, bufs):
+            c[1] = (shared, off)
+            off += buf.size
+    calls = [tuple(c) for c in calls]
     prep = {"B": B, "md": md, "err": err, "sidx": sidx,
             "stored_words": stored_words, "out_sizes": out_sizes}
     return prep, calls
 
 
+_cat = jax.jit(lambda xs: jnp.concatenate(xs, axis=0))
+
+
 def inflate_wave_device(stream: bytes, bit_offsets, out_sizes,
                         hints=None, interpret: bool = False):
-    """Decode blocks on device; returns (words [B, 8192] jnp.int32 in
+    """Decode blocks on device; returns (words np[B, 8192] int32 in
     original block order, produced np[B], err np[B]).
 
     bit_offsets: absolute bit of each block's BFINAL bit (manifest).
@@ -114,18 +197,25 @@ def inflate_wave_device(stream: bytes, bit_offsets, out_sizes,
     """
     prep, calls = prepare_bucketed(stream, bit_offsets, out_sizes, hints)
     B, md, err = prep["B"], prep["md"], prep["err"]
-    words = jnp.zeros((B, WF.OW), jnp.int32)
+    words = np.zeros((B, WF.OW), np.int32)
     produced = np.zeros(B, np.int64)
     if prep["stored_words"] is not None:
-        words = words.at[prep["sidx"]].set(
-            jnp.asarray(prep["stored_words"]))
+        words[prep["sidx"]] = prep["stored_words"]
         produced[prep["sidx"]] = md["stored_len"][prep["sidx"]]
-    for sel, nw, hsel, sizes, mdj, W64, npad in calls:
-        filled, prod, e = wave_decode_filled(
-            nw, hsel, sizes, mdj, W64, npad, interpret)
-        words = words.at[sel].set(filled)
-        produced[sel] = np.asarray(prod)
-        err[sel] |= np.asarray(e).astype(np.int64)
+    # dispatch every bucket first (the programs queue on device), then
+    # concatenate on device and pull ONCE (each d2h costs a tunnel
+    # round-trip on top of the ~80 MB/s transfer)
+    outs = [wave_decode_packed(buf, W64, n, npad, interpret, off=off)
+            for _, (buf, off), W64, n, npad in calls]
+    if outs:
+        big = np.asarray(outs[0] if len(outs) == 1 else _cat(outs))
+        row = 0
+        for sel, _, _, n, _ in calls:
+            o = big[row:row + n]
+            row += n
+            words[sel] = o[:, :WF.OW]
+            produced[sel] = o[:, WF.OW]
+            err[sel] |= o[:, WF.OW + 1].astype(np.int64)
     return words, produced, err
 
 

@@ -64,6 +64,14 @@ def lib():
             ctypes.POINTER(ctypes.c_size_t)]
         L.dt_adler32.restype = ctypes.c_uint32
         L.dt_adler32.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+        L.dt_parse_headers.restype = ctypes.c_int
+        L.dt_parse_headers.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8)]
         L.dt_stitch.restype = None
         L.dt_stitch.argtypes = [
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint64),
@@ -145,6 +153,43 @@ def adler32(data: bytes):
     if L is None:
         return None
     return int(L.dt_adler32(data, len(data)))
+
+
+def parse_headers(data: bytes, bit_offsets):
+    """Batched block-header walk for the wavefront decoder's host prep.
+
+    Returns dict of numpy arrays (btype, data_start, stored_len, err,
+    hlit, hdist, lens [B, 320]) or None if the lib is unavailable.
+    The batch canonical-metadata math happens in ops/wave.py.
+    """
+    import numpy as np
+
+    L = lib()
+    if L is None:
+        return None
+    offs = np.ascontiguousarray(bit_offsets, np.int64)
+    B = len(offs)
+    btype = np.zeros(B, np.int64)
+    dstart = np.zeros(B, np.int64)
+    slen = np.zeros(B, np.int64)
+    err = np.zeros(B, np.uint8)
+    hlit = np.zeros(B, np.int32)
+    hdist = np.zeros(B, np.int32)
+    lens = np.zeros((B, 320), np.uint8)
+    p = ctypes.POINTER
+    L.dt_parse_headers(
+        data, len(data),
+        offs.ctypes.data_as(p(ctypes.c_int64)), B,
+        btype.ctypes.data_as(p(ctypes.c_int64)),
+        dstart.ctypes.data_as(p(ctypes.c_int64)),
+        slen.ctypes.data_as(p(ctypes.c_int64)),
+        err.ctypes.data_as(p(ctypes.c_uint8)),
+        hlit.ctypes.data_as(p(ctypes.c_int32)),
+        hdist.ctypes.data_as(p(ctypes.c_int32)),
+        lens.ctypes.data_as(p(ctypes.c_uint8)))
+    return {"btype": btype, "data_start": dstart, "stored_len": slen,
+            "err": err.astype(bool), "hlit": hlit, "hdist": hdist,
+            "lens": lens}
 
 
 def stitch(segments):

@@ -371,6 +371,160 @@ int dt_inflate(const uint8_t* in, size_t in_len, uint8_t* out, size_t out_cap,
   return dt_inflate2(in, in_len, out, out_cap, out_len, nullptr);
 }
 
+// Batched block-header parse for the wavefront decoder's host prep
+// (ops/wave.py parse_headers_host).  For each block whose BFINAL bit
+// sits at bit_offsets[b], walks the header only (the sequential part:
+// CL-code decode + repeat expansion, inflate.hpp:136-224 territory) and
+// records the raw code lengths; the batch canonical-metadata math stays
+// vectorized numpy on the Python side.
+//
+// Outputs, all length nblocks unless noted:
+//   btype, data_start (absolute bit of first symbol / stored payload),
+//   stored_len, err (parse failure), hlit, hdist,
+//   lens [nblocks * 320] code lengths (litlen then dist, zero padded).
+int dt_parse_headers(const uint8_t* in, size_t in_len,
+                     const int64_t* bit_offsets, int64_t nblocks,
+                     int64_t* btype, int64_t* data_start,
+                     int64_t* stored_len, uint8_t* err,
+                     int32_t* hlit_out, int32_t* hdist_out,
+                     uint8_t* lens_out) {
+  for (int64_t b = 0; b < nblocks; b++) {
+    btype[b] = 0;
+    data_start[b] = 0;
+    stored_len[b] = 0;
+    err[b] = 0;
+    hlit_out[b] = 0;
+    hdist_out[b] = 0;
+    uint8_t* lens = lens_out + b * 320;
+    memset(lens, 0, 320);
+
+    int64_t off = bit_offsets[b];
+    if (off < 0 || size_t(off + 3) > 8 * in_len) {
+      err[b] = 1;
+      continue;
+    }
+    BitReader br{in + (off >> 3), in + in_len};
+    br.refill();
+    br.drop(int(off & 7));
+    int64_t base_bit = off & ~int64_t(7);  // br consumed counts from here
+    auto bitpos = [&]() {
+      return base_bit + 8 * int64_t(br.p - (in + (off >> 3))) - br.n;
+    };
+    br.drop(1);  // BFINAL
+    int bt = int(br.peek(2));
+    br.drop(2);
+    btype[b] = bt;
+    if (bt == 3) {
+      err[b] = 1;
+      continue;
+    }
+    if (bt == 0) {
+      br.align();
+      if (!br.have(32)) {
+        err[b] = 1;
+        continue;
+      }
+      uint32_t len = br.peek(16);
+      br.drop(16);
+      uint32_t nlen = br.peek(16);
+      br.drop(16);
+      int64_t payload = bitpos();
+      if ((len ^ nlen) != 0xFFFF ||
+          size_t(payload + 8 * int64_t(len)) > 8 * in_len)
+        err[b] = 1;
+      stored_len[b] = len;
+      data_start[b] = payload;
+      continue;
+    }
+    if (bt == 1) {
+      data_start[b] = bitpos();
+      continue;  // fixed code lengths are implied; Python fills them
+    }
+    // dynamic header
+    if (!br.have(14)) {
+      err[b] = 1;
+      continue;
+    }
+    int hlit = int(br.peek(5)) + 257;
+    br.drop(5);
+    int hdist = int(br.peek(5)) + 1;
+    br.drop(5);
+    int hclen = int(br.peek(4)) + 4;
+    br.drop(4);
+    uint8_t cl_lens[19] = {0};
+    bool bad = false;
+    for (int i = 0; i < hclen; i++) {
+      if (!br.have(3)) {
+        bad = true;
+        break;
+      }
+      cl_lens[kClOrder[i]] = uint8_t(br.peek(3));
+      br.drop(3);
+    }
+    static thread_local Entry cl_tbl[kTableSize];
+    if (bad || build_table(cl_lens, 19, cl_tbl, false) < 0) {
+      err[b] = 1;
+      continue;
+    }
+    int i = 0;
+    while (i < hlit + hdist) {
+      int s = decode_sym(br, cl_tbl);
+      if (s < 0) {
+        bad = true;
+        break;
+      }
+      if (s < 16) {
+        lens[i++] = uint8_t(s);
+      } else if (s == 16) {
+        if (i == 0 || !br.have(2)) {
+          bad = true;
+          break;
+        }
+        int rep = 3 + int(br.peek(2));
+        br.drop(2);
+        if (i + rep > hlit + hdist) {
+          bad = true;
+          break;
+        }
+        for (int r = 0; r < rep; r++, i++) lens[i] = lens[i - 1];
+      } else if (s == 17) {
+        if (!br.have(3)) {
+          bad = true;
+          break;
+        }
+        int rep = 3 + int(br.peek(3));
+        br.drop(3);
+        if (i + rep > hlit + hdist) {
+          bad = true;
+          break;
+        }
+        i += rep;
+      } else {
+        if (!br.have(7)) {
+          bad = true;
+          break;
+        }
+        int rep = 11 + int(br.peek(7));
+        br.drop(7);
+        if (i + rep > hlit + hdist) {
+          bad = true;
+          break;
+        }
+        i += rep;
+      }
+    }
+    if (bad || i != hlit + hdist || lens[256] == 0) {
+      err[b] = 1;
+      memset(lens, 0, 320);
+      continue;
+    }
+    hlit_out[b] = hlit;
+    hdist_out[b] = hdist;
+    data_start[b] = bitpos();
+  }
+  return DT_OK;
+}
+
 // Bit-level concatenation of segments into a contiguous stream.
 // seg_words: concatenated u32 word data; seg_offsets[i] = word offset of
 // segment i; seg_bits[i] = bit length of segment i.  out must be zeroed,

@@ -154,12 +154,120 @@ class _HostBits:
 def parse_headers_host(stream: bytes, bit_offsets):
     """Parse B block headers; return stacked per-block metadata.
 
-    Sequential O(header) work, mirroring the split the reference makes
-    between its table build and its decode loop (inflate.hpp:136-224 vs
-    226-275).  Returns a dict of numpy arrays keyed for inflate_wave,
-    including btype[B], data_start[B] (absolute bit of first symbol),
-    and for stored blocks the byte-aligned payload location.
+    Fast path: the native runtime walks the sequential header bits
+    (dt_parse_headers) and the canonical-decode scalars are computed by
+    _canon_meta_batch in vectorized numpy; the pure-Python per-block
+    loop below is the fallback and the differential-test oracle.
+
+    Mirrors the split the reference makes between its table build and
+    its decode loop (inflate.hpp:136-224 vs 226-275).  Returns a dict of
+    numpy arrays keyed for inflate_wave, including btype[B],
+    data_start[B] (absolute bit of first symbol), and for stored blocks
+    the byte-aligned payload location.
     """
+    try:
+        from deflate_tpu import native as NAT
+        raw = NAT.parse_headers(stream, bit_offsets)
+    except Exception:
+        raw = None
+    if raw is not None:
+        return _canon_meta_batch(raw)
+    return _parse_headers_host_py(stream, bit_offsets)
+
+
+def _canon_meta_batch(raw):
+    """Vectorized _canon_meta over the native header walk's raw output.
+
+    raw: dict from native.parse_headers (btype, data_start, stored_len,
+    err, hlit, hdist, lens [B, 320] uint8).  Produces the exact
+    parse_headers_host dict (property-tested against the Python path).
+    """
+    B = len(raw["btype"])
+    lens = raw["lens"].astype(np.int64)          # [B, 320]
+    hlit = raw["hlit"].astype(np.int64)
+    hdist = raw["hdist"].astype(np.int64)
+    is_fixed = raw["btype"] == 1
+    if is_fixed.any():
+        lens = lens.copy()
+        lens[is_fixed, :288] = np.asarray(T.FIXED_LITLEN_LENGTHS,
+                                          np.int64)
+        lens[is_fixed, 288:318] = np.asarray(T.FIXED_DIST_LENGTHS[:30],
+                                             np.int64)
+        hlit = np.where(is_fixed, 288, hlit)
+        hdist = np.where(is_fixed, 30, hdist)
+
+    pos = np.arange(288)
+    Ll = np.where(pos[None, :] < hlit[:, None], lens[:, :288], 0)
+    dcols = hlit[:, None] + np.arange(32)[None, :]
+    Ld = lens[np.arange(B)[:, None], np.minimum(dcols, 319)]
+    Ld = np.where(np.arange(32)[None, :] < hdist[:, None], Ld, 0)
+    Ld = Ld[:, :30]
+
+    def canon(L, n_max):
+        cnt = np.bincount(
+            (L + 16 * np.arange(B)[:, None]).ravel(),
+            minlength=16 * B).reshape(B, 16)[:, :16].astype(np.int64)
+        cnt[:, 0] = 0
+        kraft = (cnt[:, 1:] << (15 - np.arange(1, 16))[None, :]).sum(1)
+        oversub = (cnt.sum(1) > 0) & (kraft > (1 << 15))
+        first = np.zeros((B, 16), np.int64)
+        code = np.zeros(B, np.int64)
+        for l in range(1, 16):
+            code = (code + cnt[:, l - 1]) << 1
+            first[:, l] = code
+        lim = first + cnt
+        base = np.cumsum(cnt, axis=1) - cnt
+        return cnt, first, lim, base, oversub
+
+    _, l_first, l_lim, l_base, ov_l = canon(Ll, 288)
+    _, d_first, d_lim, d_base, ov_d = canon(Ld, 30)
+
+    # meta: nlit per length | has_eob<<9
+    nlit = np.bincount(
+        (Ll[:, :256] + 16 * np.arange(B)[:, None]).ravel(),
+        minlength=16 * B).reshape(B, 16).astype(np.int64)
+    nlit[:, 0] = 0
+    eob_l = Ll[:, 256]
+    meta = nlit | ((np.arange(16)[None, :] == eob_l[:, None])
+                   .astype(np.int64) << 9)
+    meta[:, 0] = 0
+
+    def bitmask(M, nbits):
+        """[B, 16] int64 masks: bit j of mask[:, l] = (M[:, j] == l)."""
+        out = np.zeros((B, 16), np.int64)
+        w = (1 << np.arange(nbits, dtype=np.int64))[None, :]
+        for l in range(1, 16):
+            out[:, l] = ((M == l) * w).sum(1)
+        return out
+
+    l_mask = bitmask(Ll[:, 257:288], 31)
+    d_mask = bitmask(Ld, 30)
+
+    litmask = np.zeros((B, 16, 8), np.int64)
+    for l in range(1, 16):
+        bits = np.ascontiguousarray(Ll[:, :256] == l)
+        packed = np.packbits(bits, axis=1, bitorder="little")
+        litmask[:, l, :] = packed.view("<u4").astype(np.int64)
+
+    err = raw["err"].copy()
+    is_huff = (raw["btype"] == 1) | (raw["btype"] == 2)
+    err |= is_huff & (ov_l | ov_d)
+
+    res = {"l_lim": _u32(l_lim), "l_first": _u32(l_first),
+           "l_base": _u32(l_base), "l_meta": _u32(meta),
+           "l_mask": _u32(l_mask), "l_litmask": _u32(litmask),
+           "d_lim": _u32(d_lim), "d_first": _u32(d_first),
+           "d_base": _u32(d_base), "d_mask": _u32(d_mask)}
+    res["btype"] = raw["btype"].astype(np.int64)
+    res["data_start"] = raw["data_start"].astype(np.int64)
+    res["stored_len"] = raw["stored_len"].astype(np.int64)
+    res["hdr_err"] = err.astype(bool)
+    return res
+
+
+def _parse_headers_host_py(stream: bytes, bit_offsets):
+    """Pure-Python per-block fallback (and differential oracle) for
+    parse_headers_host."""
     B = len(bit_offsets)
     btype = np.zeros(B, np.int64)
     dstart = np.zeros(B, np.int64)
