@@ -107,21 +107,16 @@ def _kernel(nm_ref, lit_ref, rec_ref, out_ref, outw, recs,
             lim = jnp.minimum(nm - wi * RW, RW)
 
             def cond(c):
-                mi, p, rem, dist = c
+                mi, p, rem, dist, done = c
                 return (mi < lim) | (rem > 0)
 
-            def body(c):
-                mi, p, rem, dist = c
-                fresh = (rem <= 0).astype(i32)
-                ms = jnp.minimum(mi, RW - 1)
-                r0 = recs[rb + 2 * ms]
-                r1 = recs[rb + 2 * ms + 1]
-                p = jnp.where(fresh > 0, r0 & 0xFFFF, p)
-                rem = jnp.where(fresh > 0, (srl(r0, 16) & 255) + 3, rem)
-                dist = jnp.where(fresh > 0, r1, dist)
-                mi = mi + fresh
+            def slow_step(a):
+                # byte-masked 8-byte group write (short matches / tails;
+                # straight-line — measured faster than branching the
+                # pattern/second-group work out on the scalar core)
+                p, rem, dist, done = a
                 eff = jnp.minimum(rem, i32(8))
-                w0 = funnel_out(p - dist)
+                w0 = funnel_out(jnp.maximum(p - dist, 0))
                 bb = w0 & 0xFF
                 rep1 = bb | (bb << 8) | (bb << 16) | (bb << 24)
                 hh = w0 & 0xFFFF
@@ -138,14 +133,63 @@ def _kernel(nm_ref, lit_ref, rec_ref, out_ref, outw, recs,
                 # first group write, then re-read for the second group
                 # (correct for 4<=dist<8 overlap); dist<4 uses patterns
                 wr_group4(p, v0, m0)
-                w1f = funnel_out(p + 4 - dist)
+                w1f = funnel_out(jnp.maximum(p + 4 - dist, 0))
                 v1 = jnp.where(dist == 3, rot3(patw),
                                jnp.where(dist < 4, patw, w1f))
                 wr_group4(p + 4, v1, m1)
-                return mi, p + eff, rem - eff, dist
+                return p + eff, rem - eff, done + eff
+
+            def fast_run(a):
+                # word-run path for long matches: align to a word
+                # boundary, then one whole-word store per iteration.
+                # dist < 4 is PROMOTED to a multiple >= 25 (the filled
+                # region is dist-periodic, so out[p-k*dist] == out[p-
+                # dist] once >= 28 bytes of THIS match are written — the
+                # periodicity chain must not step past the match start);
+                # sources then always sit >= 4 bytes behind the write
+                # cursor, which makes sequential word fill safe for
+                # every RFC overlap case.
+                p, rem, dist, done = a
+                kd = jnp.where(dist >= 4, dist,
+                               jnp.where(dist == 1, 28,
+                                         jnp.where(dist == 2, 28, 27)))
+                hb = jnp.minimum((4 - (p & 3)) & 3, rem)
+                hw = funnel_out(jnp.maximum(p - kd, 0))
+                hm = jnp.where(hb == 0, i32(0), (i32(1) << (8 * hb)) - 1)
+                wr_group4(p, hw, hm)
+                p = p + hb
+                rem = rem - hb
+                full = srl(rem, 2)
+
+                def wbody(s):
+                    w, ps, k = s
+                    outw[sb + w] = funnel_out(ps)
+                    return w + 1, ps + 4, k + 1
+
+                jax.lax.while_loop(
+                    lambda s: s[2] < full, wbody,
+                    (srl(p, 2), jnp.maximum(p - kd, 0), i32(0)))
+                adv = 4 * full
+                return p + adv, rem - adv, done + hb + adv
+
+            def body(c):
+                mi, p, rem, dist, done = c
+                fresh = (rem <= 0).astype(i32)
+                ms = jnp.minimum(mi, RW - 1)
+                r0 = recs[rb + 2 * ms]
+                r1 = recs[rb + 2 * ms + 1]
+                p = jnp.where(fresh > 0, r0 & 0xFFFF, p)
+                rem = jnp.where(fresh > 0, (srl(r0, 16) & 255) + 3, rem)
+                dist = jnp.where(fresh > 0, r1, dist)
+                done = jnp.where(fresh > 0, 0, done)
+                mi = mi + fresh
+                use_fast = (rem >= 16) & ((dist >= 4) | (done >= 28))
+                p, rem, done = jax.lax.cond(use_fast, fast_run, slow_step,
+                                            (p, rem, dist, done))
+                return mi, p, rem, dist, done
 
             jax.lax.while_loop(cond, body,
-                               (i32(0), i32(0), i32(0), i32(1)))
+                               (i32(0), i32(0), i32(0), i32(1), i32(0)))
             return 0
 
         jax.lax.fori_loop(0, (nm + RW - 1) // RW, do_window, 0)

@@ -390,3 +390,44 @@ def test_stagea_pallas_equivalence():
     A0p, P1p = decode_positions_pallas(nwords, mdj, W64, interpret=True)
     assert (np.asarray(A0x) == np.asarray(A0p)).all()
     assert (np.asarray(P1x) == np.asarray(P1p)).all()
+
+
+def test_fill_matches_adversarial_overlaps():
+    """Direct stage-G kernel test: every distance class (dist 1,2,3 ->
+    pattern + promotion path; 4..8 -> word-funnel overlap; large),
+    every word phase, short and long lengths — vs the host oracle."""
+    from deflate_tpu.ops import wave_fill as WF
+
+    rng = np.random.default_rng(11)
+    B = WF.K
+    OW = WF.OW
+    lit = rng.integers(-2**31, 2**31, (B, OW), dtype=np.int64)
+    lit = lit.astype(np.int32)
+    rec0 = np.zeros((B, W.NM), np.int32)
+    rec1 = np.zeros((B, W.NM), np.int32)
+    nmatch = np.zeros(B, np.int32)
+    cases = []
+    o = 16
+    for dist in (1, 2, 3, 4, 5, 6, 7, 8, 31, 509):
+        for ln in (3, 4, 7, 15, 16, 17, 29, 258):
+            for phase in range(4):
+                cases.append((o + phase, ln, dist))
+                o += ln + phase + 11
+    # distribute across blocks; fresh long dist<4 match at start exercises
+    # the promotion gate (done >= 28 before the word run)
+    per = len(cases) // B + 1
+    for b in range(B):
+        sub = cases[b * per:(b + 1) * per]
+        for m, (o_, ln, d) in enumerate(sub):
+            rec0[b, m] = (o_ & 0xFFFF) | ((ln - 3) << 16)
+            rec1[b, m] = d
+        nmatch[b] = len(sub)
+    recs = np.stack([rec0, rec1], axis=2).reshape(B, 2 * W.NM)
+    got = np.asarray(WF.fill_matches(
+        jnp.asarray(lit), jnp.asarray(recs), jnp.asarray(nmatch), B,
+        interpret=True))
+    want = _fill_matches_host(lit, rec0, rec1, nmatch)
+    gotb = got.view(np.uint8).reshape(B, -1)
+    for b in range(B):
+        bad = np.nonzero(gotb[b] != want[b])[0]
+        assert len(bad) == 0, (b, bad[:10], nmatch[b])
