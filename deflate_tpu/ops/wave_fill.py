@@ -33,9 +33,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from deflate_tpu.ops.wave import NM, ND
 
+import os
+
 OW = ND // 4                 # output words per block
 RW = 1024                    # match records per SMEM window
-K = 8                        # blocks per grid cell (concurrent DMAs)
+K = int(os.environ.get("DT_FILL_K", "8"))  # blocks/cell (concurrent DMAs)
 # slot strides 1024-word aligned (Mosaic DMA tiling); OWP's +1024 pad
 # also absorbs the word-pair RMW one-past-the-end touch
 OWP = OW + 1024
