@@ -72,6 +72,10 @@ def lib():
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint8)]
+        for name in ("dt_rfc_tables_inflate", "dt_rfc_tables_deflate"):
+            f = getattr(L, name)
+            f.restype = None
+            f.argtypes = [ctypes.POINTER(ctypes.c_int32)] * 5
         L.dt_stitch.restype = None
         L.dt_stitch.argtypes = [
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint64),
@@ -190,6 +194,33 @@ def parse_headers(data: bytes, bit_offsets):
     return {"btype": btype, "data_start": dstart, "stored_len": slen,
             "err": err.astype(bool), "hlit": hlit, "hdist": hdist,
             "lens": lens}
+
+
+def rfc_tables(which: str):
+    """The RFC 1951 constant tables as compiled into one native TU.
+
+    which: "inflate" or "deflate".  Returns dict of numpy int32 arrays
+    (len_base, len_extra, dist_base, dist_extra, cl_order) or None if the
+    lib is unavailable.  Exists so tests can cross-check the three copies
+    of these normative constants (utils/tables.py, inflate.cpp,
+    deflate.cpp) against each other.
+    """
+    import numpy as np
+
+    L = lib()
+    if L is None:
+        return None
+    lb = np.zeros(29, np.int32)
+    le = np.zeros(29, np.int32)
+    db = np.zeros(30, np.int32)
+    de = np.zeros(30, np.int32)
+    co = np.zeros(19, np.int32)
+    fn = getattr(L, f"dt_rfc_tables_{which}")
+    p = ctypes.POINTER(ctypes.c_int32)
+    fn(lb.ctypes.data_as(p), le.ctypes.data_as(p), db.ctypes.data_as(p),
+       de.ctypes.data_as(p), co.ctypes.data_as(p))
+    return {"len_base": lb, "len_extra": le, "dist_base": db,
+            "dist_extra": de, "cl_order": co}
 
 
 def stitch(segments):

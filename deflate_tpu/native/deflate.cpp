@@ -486,4 +486,20 @@ int dt_deflate(const uint8_t* in, size_t in_len, int level, uint8_t* out,
   return bw.overflow ? -2 : 0;
 }
 
+// Drift guard twin of dt_rfc_tables_inflate (see inflate.cpp): exports
+// deflate.cpp's own copies of the RFC 1951 constants for the cross-check.
+void dt_rfc_tables_deflate(int32_t* len_base, int32_t* len_extra,
+                           int32_t* dist_base, int32_t* dist_extra,
+                           int32_t* cl_order) {
+  for (int i = 0; i < 29; i++) {
+    len_base[i] = kLenBase[i];
+    len_extra[i] = kLenExtra[i];
+  }
+  for (int i = 0; i < 30; i++) {
+    dist_base[i] = kDistBase[i];
+    dist_extra[i] = kDistExtra[i];
+  }
+  for (int i = 0; i < 19; i++) cl_order[i] = kClOrder[i];
+}
+
 }  // extern "C"

@@ -551,4 +551,21 @@ void dt_stitch(const uint32_t* seg_words, const uint64_t* seg_offsets,
   }
 }
 
+// Export this translation unit's RFC 1951 constants so the test suite can
+// cross-check them against utils/tables.py and deflate.cpp's copies
+// (three-way duplication drift guard, VERDICT r1/r2 leftover).
+void dt_rfc_tables_inflate(int32_t* len_base, int32_t* len_extra,
+                           int32_t* dist_base, int32_t* dist_extra,
+                           int32_t* cl_order) {
+  for (int i = 0; i < 29; i++) {
+    len_base[i] = kLenBase[i];
+    len_extra[i] = kLenExtra[i];
+  }
+  for (int i = 0; i < 30; i++) {
+    dist_base[i] = kDistBase[i];
+    dist_extra[i] = kDistExtra[i];
+  }
+  for (int i = 0; i < 19; i++) cl_order[i] = kClOrder[i];
+}
+
 }  // extern "C"

@@ -42,19 +42,19 @@ def make_mesh(devices=None, axis: str = AXIS) -> Mesh:
 
 
 def _shard_body(blocks, blens, live, final_idx, phase0, *, level: int,
-                ndev: int):
+                ndev: int, axis: str = AXIS):
     """Per-device body: local plan/emit + replicated offset scan + psum."""
     Bl = blocks.shape[0]                       # local blocks per device
     B = Bl * ndev
-    me = jax.lax.axis_index(AXIS)
+    me = jax.lax.axis_index(axis)
 
     plans = jax.vmap(lambda b, l: E.block_plan(b, l, level))(blocks, blens)
 
     # stage B: gather the tiny per-block size vectors, scan everywhere
-    fb = jax.lax.all_gather(plans["fixed_bits"], AXIS, tiled=True)
-    db = jax.lax.all_gather(plans["dyn_bits"], AXIS, tiled=True)
-    bl = jax.lax.all_gather(blens, AXIS, tiled=True)
-    lv = jax.lax.all_gather(live, AXIS, tiled=True)
+    fb = jax.lax.all_gather(plans["fixed_bits"], axis, tiled=True)
+    db = jax.lax.all_gather(plans["dyn_bits"], axis, tiled=True)
+    bl = jax.lax.all_gather(blens, axis, tiled=True)
+    lv = jax.lax.all_gather(live, axis, tiled=True)
     choice, pad, offset, bits = E.choose_blocks(fb, db, bl, lv, level,
                                                 phase0)
     offset = offset - phase0                   # segment-relative placement
@@ -86,7 +86,7 @@ def _shard_body(blocks, blens, live, final_idx, phase0, *, level: int,
     seg = seg.at[tgt.reshape(-1)].add(shifted.reshape(-1), mode="drop")
     seg = seg.at[base + E.WB].add(tail, mode="drop")
 
-    out = jax.lax.psum(seg, AXIS)
+    out = jax.lax.psum(seg, axis)
     total = jnp.sum(bits)
     return out, total
 
@@ -101,26 +101,35 @@ def encode_mesh(blocks, blens, live, final_idx, level: int, mesh: Mesh,
     total_bits int32).
     """
     ndev = mesh.devices.size
+    axis = mesh.axis_names[0]
     phase0 = jnp.asarray(phase0, jnp.int32)
-    body = partial(_shard_body, level=level, ndev=ndev)
+    body = partial(_shard_body, level=level, ndev=ndev, axis=axis)
     fn = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P()),
+        in_specs=(P(axis), P(axis), P(axis), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
     return fn(blocks, blens, live, final_idx, phase0)
 
 
-def compress_mesh(data: bytes, level: int = 2, mesh: Mesh | None = None) -> bytes:
-    """Host front-end: compress one buffer data-parallel over a mesh."""
+def compress_mesh(data: bytes, level: int = 2, mesh: Mesh | None = None,
+                  config=None) -> bytes:
+    """Host front-end: compress one buffer data-parallel over a mesh.
+
+    config: a ``CodecConfig``; supplies level and the mesh axis name
+    (config.mesh_axis) when no explicit mesh is given.
+    """
     import numpy as np
 
     from deflate_tpu.ops.bitpack import words_to_bytes
     from deflate_tpu.utils.tables import BLOCK_SIZE
 
+    if config is not None:
+        level = config.level
     if mesh is None:
-        mesh = make_mesh()
+        mesh = make_mesh(axis=config.mesh_axis if config is not None
+                         else AXIS)
     ndev = mesh.devices.size
     buf = np.frombuffer(bytes(data), dtype=np.uint8)
     nblocks = max(1, -(-len(buf) // BLOCK_SIZE))
@@ -155,6 +164,8 @@ def decode_mesh(words, starts, out_lens, span: int, out_cap: int,
     """
     from deflate_tpu.models import decoder as D
 
+    axis = mesh.axis_names[0]
+
     def body(starts, out_lens):
         out, produced, err = jax.vmap(
             lambda s: D.decode_block_standalone(words, s, span, out_cap)
@@ -162,15 +173,15 @@ def decode_mesh(words, starts, out_lens, span: int, out_cap: int,
         live = out_lens > 0
         err = err & live
         bad = live & (produced != out_lens)
-        out_all = jax.lax.all_gather(out, AXIS, tiled=True)
-        produced_all = jax.lax.all_gather(produced * live, AXIS, tiled=True)
+        out_all = jax.lax.all_gather(out, axis, tiled=True)
+        produced_all = jax.lax.all_gather(produced * live, axis, tiled=True)
         err_any = jax.lax.psum(jnp.sum((err | bad).astype(jnp.int32)),
-                               AXIS) > 0
+                               axis) > 0
         return out_all, produced_all, err_any
 
     fn = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS)),
+        in_specs=(P(axis), P(axis)),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )

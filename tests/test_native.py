@@ -107,3 +107,32 @@ class TestSanitizers:
                 N.inflate(buf, 1 << 16)
             except ValueError:
                 pass
+
+
+class TestRfcTableCrossCheck:
+    """Drift guard for the three copies of the RFC 1951 normative
+    constants: utils/tables.py, native/inflate.cpp, native/deflate.cpp
+    (VERDICT r1/r2 leftover — the duplication is unavoidable, divergence
+    is not)."""
+
+    def test_native_tables_match_python(self):
+        import numpy as np
+
+        from deflate_tpu import native as N
+        from deflate_tpu.utils import tables as T
+        if N.lib() is None:
+            import pytest as _p
+            _p.skip("native toolchain unavailable")
+        for which in ("inflate", "deflate"):
+            t = N.rfc_tables(which)
+            assert t is not None
+            np.testing.assert_array_equal(t["len_base"], T.LENGTH_BASE,
+                                          err_msg=which)
+            np.testing.assert_array_equal(t["len_extra"], T.LENGTH_EXTRA,
+                                          err_msg=which)
+            np.testing.assert_array_equal(t["dist_base"], T.DIST_BASE,
+                                          err_msg=which)
+            np.testing.assert_array_equal(t["dist_extra"], T.DIST_EXTRA,
+                                          err_msg=which)
+            np.testing.assert_array_equal(t["cl_order"], T.CL_ORDER,
+                                          err_msg=which)
