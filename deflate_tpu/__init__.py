@@ -269,13 +269,16 @@ def _try_wave_decompress(raw: bytes, out_size) -> bytes | None:
     None when the walk or decoder cannot represent the stream (any
     error falls through to the scalar-core / speculative paths)."""
     try:
+        import jax
+
         from deflate_tpu.models import wave_decoder as _wd
 
         plan = _wd.skeleton_plan(raw)
         if plan is None:
             return None
-        out, err = _wd.inflate_wave_planned(raw, plan)
-        if err.any():
+        interp = jax.devices()[0].platform not in ("tpu", "axon")
+        out, err = _wd.inflate_wave_planned(raw, plan, interpret=interp)
+        if out is None or err.any():
             return None
         if out_size is not None and len(out) != out_size:
             return None

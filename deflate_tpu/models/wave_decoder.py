@@ -228,3 +228,127 @@ def inflate_wave(stream: bytes, bit_offsets, out_sizes, hints=None,
     out = b"".join(w[b, :produced[b]].tobytes()
                    for b in range(len(produced)))
     return out, err
+
+
+# ====================== skeleton-planned decode ============================
+# The native skeleton walk (native/inflate.cpp dt_skeleton) cuts ANY
+# conforming raw DEFLATE stream — including foreign zlib/gzip output whose
+# blocks exceed 32 KiB or reference across block boundaries (reference
+# analog: the sequential stream loop, inflate.hpp:277-322) — into <=32 KiB
+# VIRTUAL BLOCKS with wavefront decode hints.  Stages A-F then run on all
+# virtual blocks in parallel; only the walk and the ordered match fill
+# (fill_matches_hist, 32 KiB history carry) are sequential.
+
+GROUP = 64                    # virtual blocks per wave_decode invocation
+
+
+def skeleton_plan(stream: bytes):
+    """Virtual-block plan for a bare raw DEFLATE stream, or None when the
+    native runtime is unavailable or the stream is malformed."""
+    from deflate_tpu import native as NAT
+
+    try:
+        return NAT.skeleton(bytes(stream))
+    except ValueError:
+        return None
+
+
+@functools.partial(jax.jit, static_argnames=("W64", "interpret"))
+def _wave_group(nw, hints, sizes, mdj, stop_bit, stored, W64: int,
+                interpret: bool = False):
+    """One GROUP of planned virtual blocks through stages A-F, with
+    stored blocks passed through (their window IS their output) and
+    synthetic stops applied to cut blocks."""
+    n = nw.shape[0]
+    litw, r0, r1, nm, prod, e = W.wave_decode(
+        nw, hints, sizes, mdj, W64, interpret=interpret,
+        stop_bit=stop_bit)
+    win = nw[:, :2 * W64 + 4]
+    if 2 * W64 + 4 < WF.OW:
+        win = jnp.pad(win, ((0, 0), (0, WF.OW - (2 * W64 + 4))))
+    sw = stored[:, None]
+    litw = jnp.where(sw, win[:, :WF.OW], litw)
+    recs = jnp.stack([r0, r1], axis=2).reshape(n, 2 * W.NM)
+    nm = jnp.where(stored, 0, nm)
+    prod = jnp.where(stored, sizes, prod)
+    e = jnp.where(stored, 0, e)
+    return litw, recs, nm, prod, e
+
+
+def inflate_wave_planned(stream: bytes, plan, interpret: bool = False):
+    """Decode a skeleton-planned stream on the wavefront path.
+
+    Returns (bytes, err np[n_vb]).  Self-contained plans (every virtual
+    block is a whole parent block, no history) take the bucketed fast
+    path; anything else takes the ordered path: grouped A-F in parallel,
+    one history-carrying match fill over all virtual blocks in stream
+    order, one device->host pull.
+    """
+    flags = np.asarray(plan["flags"], np.int64)
+    n = len(flags)
+    if n == 0:
+        return b"", np.zeros(0, np.int64)
+    whole = (flags & 2) > 0
+    needs_hist = (flags & 4) > 0
+    if whole.all() and not needs_hist.any():
+        return inflate_wave(stream, plan["parent_bit"], plan["out_len"],
+                            plan["hints"], interpret=interpret)
+
+    out_len = np.asarray(plan["out_len"], np.int64)
+    span = np.asarray(plan["span_bits"], np.int64)
+    stored = (flags & 1) > 0
+    # window size: huffman vbs need the span (+1 bit for the synthetic
+    # stop position); stored vbs need their payload bytes in-window
+    need = np.where(stored, -(-out_len * 8 // 64), -(-(span + 1) // 64))
+    W64 = next((b for b in BUCKETS if b >= int(need.max())), None)
+    if W64 is None:
+        return None, np.ones(n, np.int64)
+
+    md = W.parse_headers_host(stream, plan["parent_bit"])
+    nw = W.prepare_windows(stream, plan["start_bit"], W64)
+    hints = np.full((n, W64), W.HINT_NONE, np.uint8)
+    hav = min(W64, plan["hints"].shape[1])
+    hints[:, :hav] = plan["hints"][:, :hav]
+    stop = np.where(whole | stored, -1, span).astype(np.int32)
+
+    npad = -(-n // GROUP) * GROUP
+    def pad(a, fill=0):
+        if len(a) == n and npad != n:
+            return np.concatenate(
+                [a, np.full((npad - n,) + a.shape[1:], fill, a.dtype)])
+        return a
+
+    nw_p = pad(nw)
+    hints_p = pad(hints, W.HINT_NONE)
+    sizes_p = pad(out_len.astype(np.int32))
+    stop_p = pad(stop, -1)
+    stored_p = pad(stored)
+    stored_p[n:] = True                     # padding rows pass through
+    mdj_keys = [k for k in md if k.startswith(("l_", "d_"))]
+
+    lit_parts, rec_parts, nm_parts, prod_parts, err_parts = \
+        [], [], [], [], []
+    for g0 in range(0, npad, GROUP):
+        sl = slice(g0, g0 + GROUP)
+        mdj = {k: jnp.asarray(pad(md[k])[sl]) for k in mdj_keys}
+        lw, rc, nm, pr, e = _wave_group(
+            jnp.asarray(nw_p[sl]), jnp.asarray(hints_p[sl], jnp.int32),
+            jnp.asarray(sizes_p[sl]), mdj, jnp.asarray(stop_p[sl]),
+            jnp.asarray(stored_p[sl]), W64, interpret)
+        lit_parts.append(lw)
+        rec_parts.append(rc)
+        nm_parts.append(nm)
+        prod_parts.append(pr)
+        err_parts.append(e)
+
+    cat = _cat if len(lit_parts) > 1 else (lambda x: x[0])
+    filled = WF.fill_matches_hist(
+        cat(lit_parts), cat(rec_parts), cat(nm_parts),
+        jnp.asarray(sizes_p), npad, interpret=interpret)
+
+    w = np.asarray(filled[:n]).view(np.uint8).reshape(n, -1)
+    produced = np.asarray(cat(prod_parts))[:n]
+    err = np.asarray(cat(err_parts))[:n].astype(np.int64)
+    err |= (produced != out_len).astype(np.int64)
+    out = b"".join(w[b, :out_len[b]].tobytes() for b in range(n))
+    return out, err

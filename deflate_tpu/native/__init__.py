@@ -72,6 +72,12 @@ def lib():
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint8)]
+        L.dt_skeleton.restype = ctypes.c_int
+        L.dt_skeleton.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64)]
         for name in ("dt_rfc_tables_inflate", "dt_rfc_tables_deflate"):
             f = getattr(L, name)
             f.restype = None
@@ -194,6 +200,51 @@ def parse_headers(data: bytes, bit_offsets):
     return {"btype": btype, "data_start": dstart, "stored_len": slen,
             "err": err.astype(bool), "hlit": hlit, "hdist": hdist,
             "lens": lens}
+
+
+def skeleton(data: bytes, hint_stride: int = 4224, max_vb: int | None = None):
+    """Skeleton walk of a raw DEFLATE stream: virtual-block index + decode
+    hints for the wavefront device decoder (see dt_skeleton in
+    inflate.cpp).  Works on ANY conforming stream — the lever that gives
+    foreign (zlib/gzip) streams the vectorized decode path.
+
+    Returns dict(parent_bit, start_bit, out_len, flags, span_bits,
+    out_start, btype — int64 [n_vb]; hints uint8 [n_vb, hint_stride];
+    total_out int) or None if the native lib is unavailable.
+    Raises ValueError on malformed streams.
+    """
+    import numpy as np
+
+    L = lib()
+    if L is None:
+        return None
+    if max_vb is None:
+        # every vb covers >= 1 output byte or >= one stored block; a
+        # conforming stream of n bytes can't exceed ~1032x expansion
+        max_vb = max(64, min(2 * len(data) + 16,
+                             (1040 * len(data)) // 32768 + 16))
+    while True:
+        meta = np.zeros((max_vb, 8), np.int64)
+        hints = np.zeros((max_vb, hint_stride), np.uint8)
+        n_vb = ctypes.c_int64(0)
+        total = ctypes.c_int64(0)
+        rc = L.dt_skeleton(
+            data, len(data), max_vb, hint_stride,
+            meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            hints.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.byref(n_vb), ctypes.byref(total))
+        if rc == -2 and max_vb < 1 << 22:
+            max_vb *= 4
+            continue
+        if rc != DT_OK:
+            raise ValueError(f"skeleton: {DT_ERRORS.get(rc, rc)}")
+        n = n_vb.value
+        m = meta[:n]
+        return {"parent_bit": m[:, 0].copy(), "start_bit": m[:, 1].copy(),
+                "out_len": m[:, 2].copy(), "flags": m[:, 3].copy(),
+                "span_bits": m[:, 4].copy(), "out_start": m[:, 5].copy(),
+                "btype": m[:, 6].copy(), "hints": hints[:n].copy(),
+                "total_out": total.value}
 
 
 def rfc_tables(which: str):

@@ -551,6 +551,173 @@ void dt_stitch(const uint32_t* seg_words, const uint64_t* seg_offsets,
   }
 }
 
+// Skeleton walk for the wavefront decoder (ops/wave.py): decode symbol
+// LENGTHS only (no output materialization) for an entire raw DEFLATE
+// stream, cutting it into VIRTUAL BLOCKS of <= 32768 output bytes at
+// symbol boundaries and recording per virtual block the per-64-bit-chunk
+// symbol entry phases ("decode hints").  This is what lets FOREIGN
+// conforming streams (zlib/gzip/libdeflate output — reference analog
+// inflate.hpp:277-322) ride the fully-vectorized device decode path:
+// virtual blocks all decode in parallel on the VPU; only this walk and
+// the match fill are sequential.
+//
+// vb_meta layout per virtual block (8 int64s):
+//   [0] parent header bit offset (the block's BFINAL bit)
+//   [1] vb first-symbol bit, absolute (stored payload bit for btype 0)
+//   [2] out_len (<= 32768)
+//   [3] flags: 1 = stored | 2 = chain ends naturally (EOB inside vb)
+//              | 4 = needs history (a match reaches before the vb start)
+//   [4] span bits: vb start .. one past the last symbol.  For cut vbs
+//       the synthetic stop position; for EOB vbs includes the EOB code.
+//   [5] out_start: absolute output byte offset of the vb
+//   [6] btype of the parent block
+//   [7] reserved (0)
+// hints: hint_stride bytes per vb; 0xFF = no symbol starts in the chunk.
+//
+// Returns DT_OK; DT_E_OUTPUT when max_vb or the hint window would be
+// exceeded (caller retries bigger or falls back to the host decoder);
+// else the stream error code.
+int dt_skeleton(const uint8_t* in, size_t in_len, int64_t max_vb,
+                int64_t hint_stride, int64_t* vb_meta, uint8_t* hints,
+                int64_t* n_vb_out, int64_t* total_out) {
+  BitReader br{in, in + in_len};
+  static thread_local Tables tbl;
+  int64_t nvb = 0;
+  int64_t out_abs = 0;  // absolute output bytes before the current vb
+  const int64_t span_cap = 64 * hint_stride - 64;
+
+  auto bitpos = [&]() { return 8 * int64_t(br.p - in) - br.n; };
+  auto push_vb = [&](int64_t parent, int64_t start, int64_t out_len,
+                     int64_t flags, int64_t span, int64_t btype) -> bool {
+    if (nvb >= max_vb) return false;
+    int64_t* m = vb_meta + nvb * 8;
+    m[0] = parent;
+    m[1] = start;
+    m[2] = out_len;
+    m[3] = flags;
+    m[4] = span;
+    m[5] = out_abs;
+    m[6] = btype;
+    m[7] = 0;
+    out_abs += out_len;
+    nvb++;
+    return true;
+  };
+
+  for (;;) {
+    if (!br.have(3)) return DT_E_INPUT;
+    int64_t parent = bitpos();
+    int bfinal = int(br.peek(1));
+    br.drop(1);
+    int btype = int(br.peek(2));
+    br.drop(2);
+
+    if (btype == 3) return DT_E_BTYPE;
+    if (btype == 0) {
+      br.align();
+      if (!br.have(32)) return DT_E_INPUT;
+      uint32_t len = br.peek(16);
+      br.drop(16);
+      uint32_t nlen = br.peek(16);
+      br.drop(16);
+      if ((len ^ nlen) != 0xFFFF) return DT_E_INPUT;
+      int64_t payload = bitpos();
+      if (size_t(payload + 8 * int64_t(len)) > 8 * in_len)
+        return DT_E_INPUT;
+      uint32_t c = 0;
+      do {  // len == 0 emits one empty vb so the stream stays indexed
+        uint32_t take = len - c > 32768 ? 32768 : len - c;
+        if (!push_vb(parent, payload + 8 * int64_t(c), take, 1 | 2,
+                     8 * int64_t(take), 0))
+          return DT_E_OUTPUT;
+        memset(hints + (nvb - 1) * hint_stride, 0xFF, size_t(hint_stride));
+        c += take;
+      } while (c < len);
+      // advance the reader past the payload (buffer holds whole bytes)
+      uint32_t rem = len;
+      while (rem && br.n >= 8) {
+        br.drop(8);
+        rem--;
+      }
+      br.p += rem;
+    } else {
+      if (btype == 1) {
+        if (fixed_tables(tbl) < 0) return DT_E_CODE;
+      } else {
+        int rc = dynamic_tables(br, tbl);
+        if (rc != DT_OK) return rc;
+      }
+      int64_t vb_start = bitpos();
+      int64_t vb_out = 0;
+      int64_t vb_flags = 0;
+      if (nvb >= max_vb) return DT_E_OUTPUT;
+      uint8_t* h = hints + nvb * hint_stride;
+      memset(h, 0xFF, size_t(hint_stride));
+      for (;;) {
+        if (br.n == 0 && br.p == br.end) return DT_E_INPUT;
+        int64_t sym_bit = bitpos();
+        int s = decode_sym(br, tbl.lit);
+        if (s < 0) return DT_E_CODE;
+        int64_t emit, length = 0, dist = 0;
+        if (s < 256) {
+          emit = 1;
+        } else if (s == 256) {
+          emit = 0;
+        } else {
+          if (s > 285) return DT_E_CODE;
+          int li = s - 257;
+          if (!br.have(kLenExtra[li])) return DT_E_INPUT;
+          length = kLenBase[li] + br.peek(kLenExtra[li]);
+          br.drop(kLenExtra[li]);
+          int d = decode_sym(br, tbl.dist);
+          if (d < 0 || d > 29) return DT_E_CODE;
+          if (!br.have(kDistExtra[d])) return DT_E_INPUT;
+          dist = kDistBase[d] + br.peek(kDistExtra[d]);
+          br.drop(kDistExtra[d]);
+          emit = length;
+        }
+        if (s != 256 && (vb_out + emit > 32768 ||
+                         sym_bit - vb_start >= span_cap)) {
+          // cut BEFORE this symbol: close the vb with a synthetic stop.
+          // The stop position itself gets a hint entry — the wavefront
+          // chain validation checks every chunk's carry-in against the
+          // hints, and the stop mark is part of the old vb's chain.
+          int64_t srel = sym_bit - vb_start;
+          if (h[srel >> 6] == 0xFF) h[srel >> 6] = uint8_t(srel & 63);
+          if (!push_vb(parent, vb_start, vb_out, vb_flags, srel, btype))
+            return DT_E_OUTPUT;
+          if (nvb >= max_vb) return DT_E_OUTPUT;
+          vb_start = sym_bit;
+          vb_out = 0;
+          vb_flags = 0;
+          h = hints + nvb * hint_stride;
+          memset(h, 0xFF, size_t(hint_stride));
+        }
+        int64_t rel = sym_bit - vb_start;
+        int64_t w = rel >> 6;
+        if (w >= hint_stride) return DT_E_OUTPUT;
+        if (h[w] == 0xFF) h[w] = uint8_t(rel & 63);
+        if (s == 256) {
+          if (!push_vb(parent, vb_start, vb_out, vb_flags | 2,
+                       bitpos() - vb_start, btype))
+            return DT_E_OUTPUT;
+          break;
+        }
+        if (s > 256) {
+          if (dist > out_abs + vb_out) return DT_E_DIST;
+          if (dist > vb_out) vb_flags |= 4;  // reaches previous vb output
+        }
+        vb_out += emit;
+      }
+    }
+    if (bfinal) {
+      *n_vb_out = nvb;
+      *total_out = out_abs;
+      return DT_OK;
+    }
+  }
+}
+
 // Export this translation unit's RFC 1951 constants so the test suite can
 // cross-check them against utils/tables.py and deflate.cpp's copies
 // (three-way duplication drift guard, VERDICT r1/r2 leftover).

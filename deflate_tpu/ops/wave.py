@@ -690,12 +690,20 @@ def resolve_litval(len_, r_rel, litmask):
 
 @functools.partial(jax.jit, static_argnames=("W64", "interpret"))
 def wave_decode(nwords, hints, out_expect, md, W64: int,
-                interpret: bool = False):
+                interpret: bool = False, stop_bit=None):
     """Stages A-F on device for one bucket of B huffman blocks.
 
     nwords [B, 2*W64+4] normalized windows; hints [B, W64] int32;
     out_expect [B] expected produced bytes (manifest); md: device dict
     from parse_headers_host.
+
+    stop_bit [B] int32 (optional): per-block SYNTHETIC STOP — a virtual
+    block cut at a symbol boundary (native skeleton walk, dt_skeleton)
+    carries no EOB, so the decode chain is terminated by overriding the
+    stage-A result at exactly that bit position with an EOB record
+    (advance 1, emit 0, class 2).  -1 = none (block ends at its real
+    EOB).  This is what lets FOREIGN streams' oversized blocks decode as
+    <=32 KiB virtual blocks on the wavefront path.
 
     Returns (litwords [B, ND//4] int32 — literal bytes placed, match
     byte slots zero; rec0, rec1 [B, NM] match records (opos|len3<<16,
@@ -708,6 +716,12 @@ def wave_decode(nwords, hints, out_expect, md, W64: int,
                                          interpret=interpret)
     else:
         A0, P1 = decode_positions(nwords, md, W64)
+    if stop_bit is not None:
+        # A0[:, t, w] holds bit position 64*w + t
+        pos = (jnp.arange(W64, dtype=I32)[None, None, :] * 64
+               + jnp.arange(64, dtype=I32)[None, :, None])
+        hit = pos == stop_bit.astype(I32)[:, None, None]
+        A0 = jnp.where(hit, 1 | (2 << 15), A0)
     sums, rank_rows = chunk_automaton(A0, hints, W64)
     sstart = _exclusive(sums["sum_cnt"])
     produced = jnp.sum(sums["sum_emit"], axis=1)

@@ -210,6 +210,211 @@ def _kernel(nm_ref, lit_ref, rec_ref, out_ref, outw, recs,
         cp.wait()
 
 
+HW = OW                      # history words (32 KiB window, RFC 1951 max)
+WIN = HW + OW + 64           # window scratch words (+pad for RMW tail)
+
+
+def _kernel_seq(nm_ref, sz_ref, lit_ref, rec_ref, out_ref, window, recs,
+                sem_lit, sem_rec, sem_out):
+    """Ordered match fill with 32 KiB cross-block history — one virtual
+    block per grid step (foreign-stream plans, dt_skeleton).
+
+    A virtual block's matches may reference output produced by EARLIER
+    virtual blocks (zlib emits cross-block references freely; reference
+    analog inflate.hpp:284-305 with its persistent window).  The SMEM
+    window holds [last 32 KiB of output | current block]: byte 32768 of
+    the window IS the block's first output byte, so record positions and
+    history reads share one linear address space with no wraparound.
+    After each block a funnel-shift compaction slides the window left by
+    the block's output length (out_len is byte-, not word-, granular).
+    Grid steps execute sequentially on the core, which is exactly the
+    dependency order the format imposes.
+    """
+    g = pl.program_id(0)
+    i32 = jnp.int32
+
+    def srl(x, n):
+        return jax.lax.shift_right_logical(x, n)
+
+    @pl.when(g == 0)
+    def _():
+        def z(i, _):
+            window[i] = 0
+            return 0
+        jax.lax.fori_loop(0, HW, z, 0)
+
+    cp_lit = pltpu.make_async_copy(
+        lit_ref.at[pl.ds(g * OW, OW)], window.at[pl.ds(HW, OW)], sem_lit)
+    cp_rec = pltpu.make_async_copy(
+        rec_ref.at[pl.ds(g * 2 * NM, 2 * RW)],
+        recs.at[pl.ds(0, 2 * RW)], sem_rec)
+    cp_lit.start()
+    cp_rec.start()
+    cp_lit.wait()
+    cp_rec.wait()
+
+    nm = nm_ref[g]
+    p0 = i32(4 * HW)                     # current block's byte base
+
+    def funnel_out(p):
+        wi = srl(p, 2)
+        sh = (p & 3) * 8
+        a = window[wi]
+        b = window[wi + 1]
+        return jnp.where(sh == 0, a, srl(a, sh) | (b << (32 - sh)))
+
+    def wr_group4(p, w, m):
+        wi = srl(p, 2)
+        sh = (p & 3) * 8
+        ma = m << sh
+        va = w << sh
+        mb = jnp.where(sh == 0, i32(0), srl(m, 32 - sh))
+        vb = jnp.where(sh == 0, i32(0), srl(w, 32 - sh))
+        a = window[wi]
+        window[wi] = (a & ~ma) | (va & ma)
+        b = window[wi + 1]
+        window[wi + 1] = (b & ~mb) | (vb & mb)
+
+    def rot3(w):
+        return srl(w, 8) | ((srl(w, 8) & 0xFF) << 24)
+
+    def do_window(wi, _):
+        @pl.when(wi > 0)
+        def _():
+            pltpu.make_async_copy(
+                rec_ref.at[pl.ds(g * 2 * NM + wi * 2 * RW, 2 * RW)],
+                recs.at[pl.ds(0, 2 * RW)], sem_rec).start()
+            pltpu.make_async_copy(
+                rec_ref.at[pl.ds(g * 2 * NM + wi * 2 * RW, 2 * RW)],
+                recs.at[pl.ds(0, 2 * RW)], sem_rec).wait()
+        lim = jnp.minimum(nm - wi * RW, RW)
+
+        def cond(c):
+            mi, p, rem, dist, done = c
+            return (mi < lim) | (rem > 0)
+
+        def slow_step(a):
+            p, rem, dist, done = a
+            eff = jnp.minimum(rem, i32(8))
+            w0 = funnel_out(jnp.maximum(p - dist, 0))
+            bb = w0 & 0xFF
+            rep1 = bb | (bb << 8) | (bb << 16) | (bb << 24)
+            hh = w0 & 0xFFFF
+            patw = jnp.where(
+                dist == 1, rep1,
+                jnp.where(dist == 2, hh | (hh << 16),
+                          (w0 & 0xFFFFFF) | (bb << 24)))
+            v0 = jnp.where(dist < 4, patw, w0)
+            m0 = jnp.where(eff >= 4, i32(-1), (i32(1) << (8 * eff)) - 1)
+            m1 = jnp.where(eff <= 4, i32(0),
+                           jnp.where(eff >= 8, i32(-1),
+                                     (i32(1) << (8 * (eff - 4))) - 1))
+            wr_group4(p, v0, m0)
+            w1f = funnel_out(jnp.maximum(p + 4 - dist, 0))
+            v1 = jnp.where(dist == 3, rot3(patw),
+                           jnp.where(dist < 4, patw, w1f))
+            wr_group4(p + 4, v1, m1)
+            return p + eff, rem - eff, done + eff
+
+        def fast_run(a):
+            p, rem, dist, done = a
+            kd = jnp.where(dist >= 4, dist,
+                           jnp.where(dist == 1, 28,
+                                     jnp.where(dist == 2, 28, 27)))
+            hb = jnp.minimum((4 - (p & 3)) & 3, rem)
+            hw = funnel_out(jnp.maximum(p - kd, 0))
+            hm = jnp.where(hb == 0, i32(0), (i32(1) << (8 * hb)) - 1)
+            wr_group4(p, hw, hm)
+            p = p + hb
+            rem = rem - hb
+            full = srl(rem, 2)
+
+            def wbody(s):
+                w, ps, k = s
+                window[w] = funnel_out(ps)
+                return w + 1, ps + 4, k + 1
+
+            jax.lax.while_loop(
+                lambda s: s[2] < full, wbody,
+                (srl(p, 2), jnp.maximum(p - kd, 0), i32(0)))
+            adv = 4 * full
+            return p + adv, rem - adv, done + hb + adv
+
+        def body(c):
+            mi, p, rem, dist, done = c
+            fresh = (rem <= 0).astype(i32)
+            ms = jnp.minimum(mi, RW - 1)
+            r0 = recs[2 * ms]
+            r1 = recs[2 * ms + 1]
+            p = jnp.where(fresh > 0, (r0 & 0xFFFF) + p0, p)
+            rem = jnp.where(fresh > 0, (srl(r0, 16) & 255) + 3, rem)
+            dist = jnp.where(fresh > 0, r1, dist)
+            done = jnp.where(fresh > 0, 0, done)
+            mi = mi + fresh
+            use_fast = (rem >= 16) & ((dist >= 4) | (done >= 28))
+            p, rem, done = jax.lax.cond(use_fast, fast_run, slow_step,
+                                        (p, rem, dist, done))
+            return mi, p, rem, dist, done
+
+        jax.lax.while_loop(cond, body,
+                           (i32(0), i32(0), i32(0), i32(1), i32(0)))
+        return 0
+
+    jax.lax.fori_loop(0, (nm + RW - 1) // RW, do_window, 0)
+
+    cp_out = pltpu.make_async_copy(
+        window.at[pl.ds(HW, OW)], out_ref.at[pl.ds(g * OW, OW)], sem_out)
+    cp_out.start()
+
+    # compaction: slide the window left by out_len BYTES so the history
+    # region again holds the last 32 KiB of output.  Writes [0, HW) only
+    # — disjoint from the in-flight output DMA's read of [HW, HW+OW).
+    shift = sz_ref[g]
+    w0 = srl(shift, 2)
+    sh = (shift & 3) * 8
+
+    def comp(i, _):
+        a = window[w0 + i]
+        b = window[w0 + i + 1]
+        window[i] = jnp.where(sh == 0, a, srl(a, sh) | (b << (32 - sh)))
+        return 0
+
+    jax.lax.fori_loop(0, HW, comp, 0)
+    cp_out.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("B", "interpret"))
+def fill_matches_hist(litwords, recs, nmatch, sizes, B: int,
+                      interpret: bool = False):
+    """fill_matches for ORDERED virtual blocks with 32 KiB cross-block
+    history (foreign-stream skeleton plans).  litwords [B, OW] int32 in
+    stream order, recs [B, 2*NM] interleaved, nmatch [B], sizes [B]
+    output bytes per block.  Returns [B, OW] (block b's output bytes at
+    row b, valid up to sizes[b])."""
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.SMEM((WIN,), jnp.int32),
+            pltpu.SMEM((RECP,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        _kernel_seq,
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((B * OW,), jnp.int32),
+        interpret=interpret,
+    )(nmatch, sizes.astype(jnp.int32), litwords.reshape(-1),
+      recs.reshape(-1))
+    return out.reshape(B, OW)
+
+
 @functools.partial(jax.jit, static_argnames=("B", "interpret"))
 def fill_matches(litwords, recs, nmatch, B: int, interpret: bool = False):
     """litwords [B, OW] int32, recs [B, 2*NM] interleaved, nmatch [B].

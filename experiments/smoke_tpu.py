@@ -102,6 +102,19 @@ def main():
     else:
         FAILED.append("wave (skipped: encode failed)")
 
+    def planned_foreign():
+        from deflate_tpu.models import wave_decoder as WD
+        data = corpus[:3 * BLOCK_SIZE] + corpus[:BLOCK_SIZE // 2]
+        ref = zlib.compress(data, 9)[2:-4]       # foreign stream
+        plan = WD.skeleton_plan(ref)
+        assert plan is not None, "native skeleton unavailable"
+        out, derr = WD.inflate_wave_planned(ref, plan)
+        assert out is not None and not derr.any(), f"err {derr}"
+        assert out == data, "planned foreign decode mismatch"
+
+    check("skeleton-planned foreign decode (wave + hist fill)",
+          planned_foreign)
+
     def scalar_inflate():
         from deflate_tpu.models import pallas_decoder as PD
         # single-block foreign stream: the scalar kernel decodes blocks
