@@ -188,9 +188,126 @@ def decode_mesh(words, starts, out_lens, span: int, out_cap: int,
     return fn(starts, out_lens)
 
 
-def decompress_mesh(stream: bytes, manifest, mesh: Mesh | None = None) -> bytes:
-    """Host front-end: decode a manifest-indexed stream over a mesh."""
+@partial(jax.jit, static_argnames=("W64", "mesh", "interpret"))
+def decode_mesh_wave(nw, hints, sizes, stored, mdj, W64: int, mesh: Mesh,
+                     interpret: bool = False):
+    """Data-parallel WAVEFRONT decode over `mesh` (VERDICT r2 item #3:
+    the mesh path must run the throughput decoder, not the scan decoder).
+
+    Every device runs stages A-F + the match-fill kernel on its shard of
+    manifest-indexed self-contained blocks; outputs all_gather back.
+    nw [B, 2*W64+4] normalized windows; hints [B, W64] int32; sizes [B]
+    expected bytes; stored [B] bool (window passthrough); mdj: device
+    dict from ops.wave.parse_headers_host.  B must be a multiple of
+    mesh size * wave_fill.K.  Returns (words [B, OW], produced [B],
+    err_any bool).
+    """
+    from deflate_tpu.models import wave_decoder as WD
+    from deflate_tpu.ops import wave as W
+    from deflate_tpu.ops import wave_fill as WF
+
+    axis = mesh.axis_names[0]
+
+    def body(nw, hints, sizes, stored, mdj):
+        Bl = nw.shape[0]
+        litw, r0, r1, nm, prod, e = W.wave_decode(
+            nw, hints, sizes, mdj, W64, interpret=interpret)
+        win = nw[:, :2 * W64 + 4]
+        if 2 * W64 + 4 < WF.OW:
+            win = jnp.pad(win, ((0, 0), (0, WF.OW - (2 * W64 + 4))))
+        litw = jnp.where(stored[:, None], win[:, :WF.OW], litw)
+        recs = jnp.stack([r0, r1], axis=2).reshape(Bl, 2 * W.NM)
+        nm = jnp.where(stored, 0, nm)
+        prod = jnp.where(stored, sizes, prod)
+        e = jnp.where(stored, 0, e)
+        filled = WF.fill_matches(litw, recs, nm, Bl, interpret=interpret)
+        live = sizes > 0
+        bad = (e > 0) | (prod != sizes)
+        out_all = jax.lax.all_gather(filled, axis, tiled=True)
+        prod_all = jax.lax.all_gather(prod * live, axis, tiled=True)
+        err_any = jax.lax.psum(
+            jnp.sum((bad & live).astype(jnp.int32)), axis) > 0
+        return out_all, prod_all, err_any
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return fn(nw, hints, sizes, stored, mdj)
+
+
+def decompress_mesh_wave(stream: bytes, manifest, mesh: Mesh | None = None,
+                         interpret: bool | None = None) -> bytes:
+    """Host front-end: wavefront decode of a hint-carrying (v2) manifest
+    stream over a mesh.  Raises ValueError on corruption (wave chain
+    validation / produced mismatch)."""
     import numpy as np
+
+    from deflate_tpu.models import wave_decoder as WD
+    from deflate_tpu.ops import wave as W
+    from deflate_tpu.ops import wave_fill as WF
+    from deflate_tpu.utils.tables import BLOCK_SIZE
+
+    if mesh is None:
+        mesh = make_mesh()
+    if interpret is None:
+        interpret = mesh.devices.reshape(-1)[0].platform not in (
+            "tpu", "axon")
+    ndev = mesh.devices.size
+    nb = len(manifest.blocks)
+    quantum = ndev * WF.K
+    B = -(-nb // quantum) * quantum
+    offs = np.zeros(B, np.int64)
+    sizes = np.zeros(B, np.int64)
+    for i, (off, _, olen) in enumerate(manifest.blocks):
+        offs[i] = off
+        sizes[i] = olen
+    spans = np.zeros(B, np.int64)
+    for i, (_, bl, _) in enumerate(manifest.blocks):
+        spans[i] = bl
+    md = W.parse_headers_host(stream, offs)
+    stored = (md["btype"] == 0) & (np.arange(B) < nb)
+    err0 = md["hdr_err"][:nb].any()
+    harr = manifest.hint_array()
+    if harr is None:
+        harr, _ = W.hints_from_walk_host(stream, offs[:nb])
+    need = int(np.maximum(spans - (md["data_start"] - offs), 1).max()
+               + 63) // 64 + 1
+    from deflate_tpu.models.wave_decoder import BUCKETS
+    W64 = next((b for b in BUCKETS if b >= need), BUCKETS[-1])
+    nw = W.prepare_windows(stream, md["data_start"], W64)
+    hints = np.full((B, W64), W.HINT_NONE, np.uint8)
+    hav = min(W64, harr.shape[1])
+    hints[:nb, :hav] = harr[:, :hav]
+    # padding rows decode as stored length-0 passthrough
+    stored_j = stored.copy()
+    stored_j[nb:] = True
+    mdj = {k: jnp.asarray(md[k]) for k in md
+           if k.startswith(("l_", "d_"))}
+    out, produced, err = decode_mesh_wave(
+        jnp.asarray(nw), jnp.asarray(hints, jnp.int32),
+        jnp.asarray(sizes, jnp.int32), jnp.asarray(stored_j), mdj,
+        W64, mesh, interpret)
+    if bool(err) or bool(err0):
+        raise ValueError("mesh wave decode failed (corrupt stream or "
+                         "manifest)")
+    w = np.asarray(out).view(np.uint8).reshape(B, -1)
+    produced = np.asarray(produced)
+    return b"".join(w[i, :produced[i]].tobytes() for i in range(nb))
+
+
+def decompress_mesh(stream: bytes, manifest, mesh: Mesh | None = None) -> bytes:
+    """Host front-end: decode a manifest-indexed stream over a mesh.
+
+    v2 manifests (decode hints) take the wavefront decoder
+    (decode_mesh_wave); hintless v1 manifests fall back to the scan
+    decoder below."""
+    import numpy as np
+
+    if getattr(manifest, "hints", None) is not None:
+        return decompress_mesh_wave(stream, manifest, mesh)
 
     from deflate_tpu.ops.bitpack import bytes_to_words
     from deflate_tpu.ops.inflate_scan import SPAN

@@ -130,3 +130,32 @@ class TestFaultInjection:
                 parts[i] = MAN.decode_range(stream, man, pos, pos + olen)
             pos += olen
         assert b"".join(parts) == data
+
+
+def test_decompress_mesh_routes_v2_manifests_to_wave(monkeypatch):
+    """VERDICT r2 item #3: the mesh decode entry point must run the
+    wavefront decoder for hint-carrying manifests (and it must produce
+    the right bytes)."""
+    import numpy as np
+
+    from deflate_tpu.parallel import mesh as M
+    from deflate_tpu.runtime import manifest as MF
+
+    rng = np.random.default_rng(31)
+    data = (rng.integers(97, 123, 3 * 32768, dtype=np.uint8).tobytes()
+            + b"wave on the mesh " * 4000
+            + rng.integers(0, 256, 32768, dtype=np.uint8).tobytes())
+    stream, man = MF.compress_with_manifest(data, level=2)
+    assert man.hints is not None
+
+    hit = {}
+    real = M.decompress_mesh_wave
+
+    def spy(*a, **k):
+        hit["wave"] = True
+        return real(*a, **k)
+
+    monkeypatch.setattr(M, "decompress_mesh_wave", spy)
+    got = M.decompress_mesh(stream, man)
+    assert got == data
+    assert hit.get("wave"), "mesh decode did not take the wave path"
