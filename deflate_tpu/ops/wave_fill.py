@@ -4,18 +4,22 @@ After ops/wave.py places literal bytes and compacts per-block match
 records (opos | (len-3)<<16, dist), this kernel performs the only
 inherently sequential step — copying match bytes, which may reference
 bytes produced by earlier matches (reference analog: the backref copy
-loop at inflate.hpp:284-305).  Work is bounded by match BYTES / 8 per
-iteration (word-group copies with RFC-overlap handling), not by symbol
-count.
+loop at inflate.hpp:284-305).
 
 Throughput structure (measured on v5e):
   * a single SMEM-destined DMA runs at only ~0.6 GB/s, but CONCURRENT
     DMA channels overlap (~3+ GB/s aggregate, cf. ops/pallas_inflate's
     4-chain cells) — so each grid cell handles K blocks and issues all
     2K input DMAs together, then all K output DMAs;
-  * one flattened while-loop per block advances 8 output bytes per
-    iteration and loads the next record branchlessly — short matches
-    cost exactly one iteration.
+  * the scalar core is ops-bound (~2 cycles/op; interleaving does not
+    help — CLAUDE.md cost model), so the record loop is shaped around
+    op count in the COMMON case: matches with len <= 8 and dist >= 8
+    (the bulk of a greedy parse) take ONE fused 3-word masked write —
+    source read, mask build, and destination RMW all straight-line,
+    no inner loop, no overlap handling;
+  * longer matches take a word-run path (one whole-word store per
+    iteration); dist < 8 overlap cases take a byte-masked general
+    path with RFC pattern promotion (dist 1/2/3 are periodic fills).
 
 Records are interleaved [B, 2*NM] (rec0, rec1 pairs); NM is a multiple
 of 1024 so DMA source offsets stay Mosaic-tile aligned.  Only the first
@@ -39,18 +43,195 @@ OW = ND // 4                 # output words per block
 RW = 1024                    # match records per SMEM window
 K = int(os.environ.get("DT_FILL_K", "8"))  # blocks/cell (concurrent DMAs)
 # slot strides 1024-word aligned (Mosaic DMA tiling); OWP's +1024 pad
-# also absorbs the word-pair RMW one-past-the-end touch
+# also absorbs the 3-word RMW one-past-the-end touch
 OWP = OW + 1024
 RECP = 2 * RW
+
+i32 = jnp.int32
+
+
+def _srl(x, n):
+    return jax.lax.shift_right_logical(x, n)
+
+
+def _fill_block(mem, sb: "jax.Array", recs, rb, nm, p0,
+                fetch_window) -> None:
+    """Fill one block's matches into mem[sb + ...] (SMEM scratch).
+
+    mem:   SMEM ref holding this block's output bytes (word-packed,
+           little-endian) at word offset sb; match positions are bytes
+           relative to 4*sb + p0 (p0 > 0 for the history variant).
+    recs:  SMEM ref of the current record window (RW records).
+    rb:    word offset of this block's window inside recs.
+    nm:    record count.
+    fetch_window(wi): DMA window wi of records into recs[rb:] (wi >= 1;
+           window 0 is pre-loaded by the caller's batched DMA).
+    """
+
+    def funnel(p):
+        """8 source bytes starting at byte p, as two words."""
+        wi = _srl(p, 2)
+        sh = (p & 3) * 8
+        a = mem[sb + wi]
+        b = mem[sb + wi + 1]
+        c = mem[sb + wi + 2]
+        v0 = jnp.where(sh == 0, a, _srl(a, sh) | (b << (32 - sh)))
+        v1 = jnp.where(sh == 0, b, _srl(b, sh) | (c << (32 - sh)))
+        return v0, v1
+
+    def funnel1(p):
+        wi = _srl(p, 2)
+        sh = (p & 3) * 8
+        a = mem[sb + wi]
+        b = mem[sb + wi + 1]
+        return jnp.where(sh == 0, a, _srl(a, sh) | (b << (32 - sh)))
+
+    def wr8(p, v0, v1, m0, m1):
+        """Masked write of 8 bytes (v0,v1 under m0,m1) at byte p —
+        one fused 3-word RMW."""
+        wi = _srl(p, 2)
+        sh = (p & 3) * 8
+        ns = 32 - jnp.maximum(sh, 1)
+        ma = m0 << sh
+        va = v0 << sh
+        mb = jnp.where(sh == 0, m1, _srl(m0, ns) | (m1 << sh))
+        vb = jnp.where(sh == 0, v1, _srl(v0, ns) | (v1 << sh))
+        mc = jnp.where(sh == 0, i32(0), _srl(m1, ns))
+        vc = jnp.where(sh == 0, i32(0), _srl(v1, ns))
+        a = mem[sb + wi]
+        mem[sb + wi] = (a & ~ma) | (va & ma)
+        b = mem[sb + wi + 1]
+        mem[sb + wi + 1] = (b & ~mb) | (vb & mb)
+        c = mem[sb + wi + 2]
+        mem[sb + wi + 2] = (c & ~mc) | (vc & mc)
+
+    def wr4(p, w, m):
+        """Masked write of one 4-byte group at byte p (2-word RMW)."""
+        wi = _srl(p, 2)
+        sh = (p & 3) * 8
+        ma = m << sh
+        va = w << sh
+        mb = jnp.where(sh == 0, i32(0), _srl(m, 32 - sh))
+        vb = jnp.where(sh == 0, i32(0), _srl(w, 32 - sh))
+        a = mem[sb + wi]
+        mem[sb + wi] = (a & ~ma) | (va & ma)
+        b = mem[sb + wi + 1]
+        mem[sb + wi + 1] = (b & ~mb) | (vb & mb)
+
+    def masks(eff):
+        """Byte masks for the first min(eff, 8) bytes as two words."""
+        m0 = jnp.where(eff >= 4, i32(-1), (i32(1) << (8 * eff)) - 1)
+        m1 = jnp.where(eff <= 4, i32(0),
+                       jnp.where(eff >= 8, i32(-1),
+                                 (i32(1) << (8 * (eff - 4))) - 1))
+        return m0, m1
+
+    def rot3(w):
+        return _srl(w, 8) | ((_srl(w, 8) & 0xFF) << 24)
+
+    # ---- common case: len <= 8, dist >= 8: one fused masked write ----
+    def fused8(a):
+        p, rem, dist = a
+        v0, v1 = funnel(jnp.maximum(p - dist, 0))
+        m0, m1 = masks(rem)
+        wr8(p, v0, v1, m0, m1)
+
+    # ---- general case: overlap patterns + word runs -------------------
+    def slow_step(a):
+        # byte-masked 8-byte group write (short overlapped matches /
+        # tails); straight-line — measured faster than branching the
+        # pattern work out on the scalar core
+        p, rem, dist, done = a
+        eff = jnp.minimum(rem, i32(8))
+        w0 = funnel1(jnp.maximum(p - dist, 0))
+        bb = w0 & 0xFF
+        rep1 = bb | (bb << 8) | (bb << 16) | (bb << 24)
+        hh = w0 & 0xFFFF
+        patw = jnp.where(
+            dist == 1, rep1,
+            jnp.where(dist == 2, hh | (hh << 16),
+                      (w0 & 0xFFFFFF) | (bb << 24)))
+        v0 = jnp.where(dist < 4, patw, w0)
+        m0, m1 = masks(eff)
+        # first group write, then re-read for the second group
+        # (correct for 4<=dist<8 overlap); dist<4 uses patterns
+        wr4(p, v0, m0)
+        w1f = funnel1(jnp.maximum(p + 4 - dist, 0))
+        v1 = jnp.where(dist == 3, rot3(patw),
+                       jnp.where(dist < 4, patw, w1f))
+        wr4(p + 4, v1, m1)
+        return p + eff, rem - eff, done + eff
+
+    def fast_run(a):
+        # word-run path for long matches: align to a word boundary,
+        # then one whole-word store per iteration.  dist < 4 is
+        # PROMOTED to a multiple >= 25 (the filled region is
+        # dist-periodic, so out[p-k*dist] == out[p-dist] once >= 28
+        # bytes of THIS match are written — the periodicity chain must
+        # not step past the match start); sources then always sit >= 4
+        # bytes behind the write cursor, which makes sequential word
+        # fill safe for every RFC overlap case.
+        p, rem, dist, done = a
+        kd = jnp.where(dist >= 4, dist,
+                       jnp.where(dist == 1, 28,
+                                 jnp.where(dist == 2, 28, 27)))
+        hb = jnp.minimum((4 - (p & 3)) & 3, rem)
+        hw = funnel1(jnp.maximum(p - kd, 0))
+        hm = jnp.where(hb == 0, i32(0), (i32(1) << (8 * hb)) - 1)
+        wr4(p, hw, hm)
+        p = p + hb
+        rem = rem - hb
+        full = _srl(rem, 2)
+
+        def wbody(s):
+            w, ps, k = s
+            mem[sb + w] = funnel1(ps)
+            return w + 1, ps + 4, k + 1
+
+        jax.lax.while_loop(
+            lambda s: s[2] < full, wbody,
+            (_srl(p, 2), jnp.maximum(p - kd, 0), i32(0)))
+        adv = 4 * full
+        return p + adv, rem - adv, done + hb + adv
+
+    def general(a):
+        def body(c):
+            p, rem, dist, done = c
+            use_fast = (rem >= 16) & ((dist >= 4) | (done >= 28))
+            p, rem, done = jax.lax.cond(
+                use_fast, fast_run, slow_step, (p, rem, dist, done))
+            return p, rem, dist, done
+
+        p, rem, dist = a
+        jax.lax.while_loop(lambda c: c[1] > 0, body,
+                           (p, rem, dist, i32(0)))
+
+    def do_window(wi, _):
+        # window 0 rode the batched DMA; later windows synchronous
+        @pl.when(wi > 0)
+        def _():
+            fetch_window(wi)
+        lim = jnp.minimum(nm - wi * RW, RW)
+
+        def rec_body(mi, _):
+            r0 = recs[rb + 2 * mi]
+            r1 = recs[rb + 2 * mi + 1]
+            p = (r0 & 0xFFFF) + p0
+            rem = (_srl(r0, 16) & 255) + 3
+            dist = r1
+            short = (rem <= 8) & (dist >= 8)
+            jax.lax.cond(short, fused8, general, (p, rem, dist))
+            return 0
+
+        jax.lax.fori_loop(0, lim, rec_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, (nm + RW - 1) // RW, do_window, 0)
 
 
 def _kernel(nm_ref, lit_ref, rec_ref, out_ref, outw, recs,
             sems_lit, sems_rec, sems_out):
     g = pl.program_id(0)
-    i32 = jnp.int32
-
-    def srl(x, n):
-        return jax.lax.shift_right_logical(x, n)
 
     # ---- all input DMAs for the cell's K blocks, concurrently --------
     cps = []
@@ -67,137 +248,19 @@ def _kernel(nm_ref, lit_ref, rec_ref, out_ref, outw, recs,
         cp.wait()
 
     # ---- per-block fill ----------------------------------------------
-    def fill_one(j):
-        sb = j * OWP
-        rb = j * RECP
-        nm = nm_ref[g * K + j]
-
-        def funnel_out(p):
-            wi = srl(p, 2)
-            sh = (p & 3) * 8
-            a = outw[sb + wi]
-            b = outw[sb + wi + 1]
-            return jnp.where(sh == 0, a, srl(a, sh) | (b << (32 - sh)))
-
-        def wr_group4(p, w, m):
-            wi = srl(p, 2)
-            sh = (p & 3) * 8
-            ma = m << sh
-            va = w << sh
-            mb = jnp.where(sh == 0, i32(0), srl(m, 32 - sh))
-            vb = jnp.where(sh == 0, i32(0), srl(w, 32 - sh))
-            a = outw[sb + wi]
-            outw[sb + wi] = (a & ~ma) | (va & ma)
-            b = outw[sb + wi + 1]
-            outw[sb + wi + 1] = (b & ~mb) | (vb & mb)
-
-        def rot3(w):
-            return srl(w, 8) | ((srl(w, 8) & 0xFF) << 24)
-
-        def do_window(wi, _):
-            # window 0 rode the batched DMA; later windows synchronous
-            @pl.when(wi > 0)
-            def _():
-                pltpu.make_async_copy(
-                    rec_ref.at[pl.ds((g * K + j) * 2 * NM + wi * 2 * RW,
-                                     2 * RW)],
-                    recs.at[pl.ds(rb, 2 * RW)], sems_rec.at[j]).start()
-                pltpu.make_async_copy(
-                    rec_ref.at[pl.ds((g * K + j) * 2 * NM + wi * 2 * RW,
-                                     2 * RW)],
-                    recs.at[pl.ds(rb, 2 * RW)], sems_rec.at[j]).wait()
-            lim = jnp.minimum(nm - wi * RW, RW)
-
-            def cond(c):
-                mi, p, rem, dist, done = c
-                return (mi < lim) | (rem > 0)
-
-            def slow_step(a):
-                # byte-masked 8-byte group write (short matches / tails;
-                # straight-line — measured faster than branching the
-                # pattern/second-group work out on the scalar core)
-                p, rem, dist, done = a
-                eff = jnp.minimum(rem, i32(8))
-                w0 = funnel_out(jnp.maximum(p - dist, 0))
-                bb = w0 & 0xFF
-                rep1 = bb | (bb << 8) | (bb << 16) | (bb << 24)
-                hh = w0 & 0xFFFF
-                patw = jnp.where(
-                    dist == 1, rep1,
-                    jnp.where(dist == 2, hh | (hh << 16),
-                              (w0 & 0xFFFFFF) | (bb << 24)))
-                v0 = jnp.where(dist < 4, patw, w0)
-                m0 = jnp.where(eff >= 4, i32(-1),
-                               (i32(1) << (8 * eff)) - 1)
-                m1 = jnp.where(eff <= 4, i32(0),
-                               jnp.where(eff >= 8, i32(-1),
-                                         (i32(1) << (8 * (eff - 4))) - 1))
-                # first group write, then re-read for the second group
-                # (correct for 4<=dist<8 overlap); dist<4 uses patterns
-                wr_group4(p, v0, m0)
-                w1f = funnel_out(jnp.maximum(p + 4 - dist, 0))
-                v1 = jnp.where(dist == 3, rot3(patw),
-                               jnp.where(dist < 4, patw, w1f))
-                wr_group4(p + 4, v1, m1)
-                return p + eff, rem - eff, done + eff
-
-            def fast_run(a):
-                # word-run path for long matches: align to a word
-                # boundary, then one whole-word store per iteration.
-                # dist < 4 is PROMOTED to a multiple >= 25 (the filled
-                # region is dist-periodic, so out[p-k*dist] == out[p-
-                # dist] once >= 28 bytes of THIS match are written — the
-                # periodicity chain must not step past the match start);
-                # sources then always sit >= 4 bytes behind the write
-                # cursor, which makes sequential word fill safe for
-                # every RFC overlap case.
-                p, rem, dist, done = a
-                kd = jnp.where(dist >= 4, dist,
-                               jnp.where(dist == 1, 28,
-                                         jnp.where(dist == 2, 28, 27)))
-                hb = jnp.minimum((4 - (p & 3)) & 3, rem)
-                hw = funnel_out(jnp.maximum(p - kd, 0))
-                hm = jnp.where(hb == 0, i32(0), (i32(1) << (8 * hb)) - 1)
-                wr_group4(p, hw, hm)
-                p = p + hb
-                rem = rem - hb
-                full = srl(rem, 2)
-
-                def wbody(s):
-                    w, ps, k = s
-                    outw[sb + w] = funnel_out(ps)
-                    return w + 1, ps + 4, k + 1
-
-                jax.lax.while_loop(
-                    lambda s: s[2] < full, wbody,
-                    (srl(p, 2), jnp.maximum(p - kd, 0), i32(0)))
-                adv = 4 * full
-                return p + adv, rem - adv, done + hb + adv
-
-            def body(c):
-                mi, p, rem, dist, done = c
-                fresh = (rem <= 0).astype(i32)
-                ms = jnp.minimum(mi, RW - 1)
-                r0 = recs[rb + 2 * ms]
-                r1 = recs[rb + 2 * ms + 1]
-                p = jnp.where(fresh > 0, r0 & 0xFFFF, p)
-                rem = jnp.where(fresh > 0, (srl(r0, 16) & 255) + 3, rem)
-                dist = jnp.where(fresh > 0, r1, dist)
-                done = jnp.where(fresh > 0, 0, done)
-                mi = mi + fresh
-                use_fast = (rem >= 16) & ((dist >= 4) | (done >= 28))
-                p, rem, done = jax.lax.cond(use_fast, fast_run, slow_step,
-                                            (p, rem, dist, done))
-                return mi, p, rem, dist, done
-
-            jax.lax.while_loop(cond, body,
-                               (i32(0), i32(0), i32(0), i32(1), i32(0)))
-            return 0
-
-        jax.lax.fori_loop(0, (nm + RW - 1) // RW, do_window, 0)
-
     for j in range(K):
-        fill_one(j)
+        def fetch_window(wi, j=j):
+            pltpu.make_async_copy(
+                rec_ref.at[pl.ds((g * K + j) * 2 * NM + wi * 2 * RW,
+                                 2 * RW)],
+                recs.at[pl.ds(j * RECP, 2 * RW)], sems_rec.at[j]).start()
+            pltpu.make_async_copy(
+                rec_ref.at[pl.ds((g * K + j) * 2 * NM + wi * 2 * RW,
+                                 2 * RW)],
+                recs.at[pl.ds(j * RECP, 2 * RW)], sems_rec.at[j]).wait()
+
+        _fill_block(outw, i32(j * OWP), recs, i32(j * RECP),
+                    nm_ref[g * K + j], i32(0), fetch_window)
 
     cps_out = []
     for j in range(K):
@@ -231,10 +294,6 @@ def _kernel_seq(nm_ref, sz_ref, lit_ref, rec_ref, out_ref, window, recs,
     dependency order the format imposes.
     """
     g = pl.program_id(0)
-    i32 = jnp.int32
-
-    def srl(x, n):
-        return jax.lax.shift_right_logical(x, n)
 
     @pl.when(g == 0)
     def _():
@@ -253,114 +312,16 @@ def _kernel_seq(nm_ref, sz_ref, lit_ref, rec_ref, out_ref, window, recs,
     cp_lit.wait()
     cp_rec.wait()
 
-    nm = nm_ref[g]
-    p0 = i32(4 * HW)                     # current block's byte base
+    def fetch_window(wi):
+        pltpu.make_async_copy(
+            rec_ref.at[pl.ds(g * 2 * NM + wi * 2 * RW, 2 * RW)],
+            recs.at[pl.ds(0, 2 * RW)], sem_rec).start()
+        pltpu.make_async_copy(
+            rec_ref.at[pl.ds(g * 2 * NM + wi * 2 * RW, 2 * RW)],
+            recs.at[pl.ds(0, 2 * RW)], sem_rec).wait()
 
-    def funnel_out(p):
-        wi = srl(p, 2)
-        sh = (p & 3) * 8
-        a = window[wi]
-        b = window[wi + 1]
-        return jnp.where(sh == 0, a, srl(a, sh) | (b << (32 - sh)))
-
-    def wr_group4(p, w, m):
-        wi = srl(p, 2)
-        sh = (p & 3) * 8
-        ma = m << sh
-        va = w << sh
-        mb = jnp.where(sh == 0, i32(0), srl(m, 32 - sh))
-        vb = jnp.where(sh == 0, i32(0), srl(w, 32 - sh))
-        a = window[wi]
-        window[wi] = (a & ~ma) | (va & ma)
-        b = window[wi + 1]
-        window[wi + 1] = (b & ~mb) | (vb & mb)
-
-    def rot3(w):
-        return srl(w, 8) | ((srl(w, 8) & 0xFF) << 24)
-
-    def do_window(wi, _):
-        @pl.when(wi > 0)
-        def _():
-            pltpu.make_async_copy(
-                rec_ref.at[pl.ds(g * 2 * NM + wi * 2 * RW, 2 * RW)],
-                recs.at[pl.ds(0, 2 * RW)], sem_rec).start()
-            pltpu.make_async_copy(
-                rec_ref.at[pl.ds(g * 2 * NM + wi * 2 * RW, 2 * RW)],
-                recs.at[pl.ds(0, 2 * RW)], sem_rec).wait()
-        lim = jnp.minimum(nm - wi * RW, RW)
-
-        def cond(c):
-            mi, p, rem, dist, done = c
-            return (mi < lim) | (rem > 0)
-
-        def slow_step(a):
-            p, rem, dist, done = a
-            eff = jnp.minimum(rem, i32(8))
-            w0 = funnel_out(jnp.maximum(p - dist, 0))
-            bb = w0 & 0xFF
-            rep1 = bb | (bb << 8) | (bb << 16) | (bb << 24)
-            hh = w0 & 0xFFFF
-            patw = jnp.where(
-                dist == 1, rep1,
-                jnp.where(dist == 2, hh | (hh << 16),
-                          (w0 & 0xFFFFFF) | (bb << 24)))
-            v0 = jnp.where(dist < 4, patw, w0)
-            m0 = jnp.where(eff >= 4, i32(-1), (i32(1) << (8 * eff)) - 1)
-            m1 = jnp.where(eff <= 4, i32(0),
-                           jnp.where(eff >= 8, i32(-1),
-                                     (i32(1) << (8 * (eff - 4))) - 1))
-            wr_group4(p, v0, m0)
-            w1f = funnel_out(jnp.maximum(p + 4 - dist, 0))
-            v1 = jnp.where(dist == 3, rot3(patw),
-                           jnp.where(dist < 4, patw, w1f))
-            wr_group4(p + 4, v1, m1)
-            return p + eff, rem - eff, done + eff
-
-        def fast_run(a):
-            p, rem, dist, done = a
-            kd = jnp.where(dist >= 4, dist,
-                           jnp.where(dist == 1, 28,
-                                     jnp.where(dist == 2, 28, 27)))
-            hb = jnp.minimum((4 - (p & 3)) & 3, rem)
-            hw = funnel_out(jnp.maximum(p - kd, 0))
-            hm = jnp.where(hb == 0, i32(0), (i32(1) << (8 * hb)) - 1)
-            wr_group4(p, hw, hm)
-            p = p + hb
-            rem = rem - hb
-            full = srl(rem, 2)
-
-            def wbody(s):
-                w, ps, k = s
-                window[w] = funnel_out(ps)
-                return w + 1, ps + 4, k + 1
-
-            jax.lax.while_loop(
-                lambda s: s[2] < full, wbody,
-                (srl(p, 2), jnp.maximum(p - kd, 0), i32(0)))
-            adv = 4 * full
-            return p + adv, rem - adv, done + hb + adv
-
-        def body(c):
-            mi, p, rem, dist, done = c
-            fresh = (rem <= 0).astype(i32)
-            ms = jnp.minimum(mi, RW - 1)
-            r0 = recs[2 * ms]
-            r1 = recs[2 * ms + 1]
-            p = jnp.where(fresh > 0, (r0 & 0xFFFF) + p0, p)
-            rem = jnp.where(fresh > 0, (srl(r0, 16) & 255) + 3, rem)
-            dist = jnp.where(fresh > 0, r1, dist)
-            done = jnp.where(fresh > 0, 0, done)
-            mi = mi + fresh
-            use_fast = (rem >= 16) & ((dist >= 4) | (done >= 28))
-            p, rem, done = jax.lax.cond(use_fast, fast_run, slow_step,
-                                        (p, rem, dist, done))
-            return mi, p, rem, dist, done
-
-        jax.lax.while_loop(cond, body,
-                           (i32(0), i32(0), i32(0), i32(1), i32(0)))
-        return 0
-
-    jax.lax.fori_loop(0, (nm + RW - 1) // RW, do_window, 0)
+    _fill_block(window, i32(0), recs, i32(0), nm_ref[g], i32(4 * HW),
+                fetch_window)
 
     cp_out = pltpu.make_async_copy(
         window.at[pl.ds(HW, OW)], out_ref.at[pl.ds(g * OW, OW)], sem_out)
@@ -370,13 +331,13 @@ def _kernel_seq(nm_ref, sz_ref, lit_ref, rec_ref, out_ref, window, recs,
     # region again holds the last 32 KiB of output.  Writes [0, HW) only
     # — disjoint from the in-flight output DMA's read of [HW, HW+OW).
     shift = sz_ref[g]
-    w0 = srl(shift, 2)
+    w0 = _srl(shift, 2)
     sh = (shift & 3) * 8
 
     def comp(i, _):
         a = window[w0 + i]
         b = window[w0 + i + 1]
-        window[i] = jnp.where(sh == 0, a, srl(a, sh) | (b << (32 - sh)))
+        window[i] = jnp.where(sh == 0, a, _srl(a, sh) | (b << (32 - sh)))
         return 0
 
     jax.lax.fori_loop(0, HW, comp, 0)
