@@ -207,17 +207,22 @@ def batch_plan(blocks, blens, level: int, trees: str = "xla"):
     return {**pre, **post}
 
 
-def _apply_table_sorted(skey, counts, codes, lens, nbins: int):
+def _apply_table_sorted(skey, counts, lens, rank, next_code,
+                        nbins: int):
     """Per-position (code, len) lookup without an [N] gather.
 
     skey: keys (bin << 15 | pos) sorted ascending; counts[bin] — the
     histogram of the first `nbins` bins (bin == nbins marks dead lanes).
-    Seeds each bin's (code|len) at its first sorted slot (a tiny scatter of
-    `nbins` elements), fills forward with one scan, then restores position
-    order with one sort.  Returns (code [N], len [N]) position-ordered.
+    Seeds each bin's compact (len, rank-within-len) at its first sorted
+    slot (a tiny scatter of `nbins` elements), fills forward with one
+    cummax, restores position order with one SINGLE-OPERAND sort
+    (pos<<13 | len<<9 | rank fits 28 bits — a 1-array sort runs ~2.5x
+    faster than key+payload on v5e), then reconstructs the canonical
+    code arithmetically: code = bit_reverse(next_code[len] + rank).
+    Returns (code [N] bit-reversed, len [N]) position-ordered.
     """
     starts = jnp.cumsum(counts) - counts            # [nbins]
-    pack = codes[:nbins] | (lens[:nbins] << 15)     # code<=15 bits, len<=4
+    pack = (lens[:nbins] << 9) | rank[:nbins]       # len(4) | rank(9)
     tgt = jnp.where(counts > 0, starts, N)
     # fill-forward as a native cummax: tag seeds with their (increasing)
     # bin number so later seeds dominate.  (An associative_scan with a
@@ -225,17 +230,40 @@ def _apply_table_sorted(skey, counts, codes, lens, nbins: int):
     # on v5e; cummax compiles in seconds.)
     binno = jnp.arange(nbins, dtype=jnp.int32)
     seed = jnp.full((N,), -1, jnp.int32).at[tgt].set(
-        (binno << 20) | pack, mode="drop")
-    filled = jax.lax.cummax(seed) & ((1 << 20) - 1)
+        (binno << 13) | pack, mode="drop")
+    filled = jax.lax.cummax(seed) & ((1 << 13) - 1)
     sbin = skey >> 15
-    pk = jnp.where(sbin < nbins, filled, 0)        # code | len<<15 packed
-    _, pk = jax.lax.sort([skey & 0x7FFF, pk], dimension=0, num_keys=1)
-    return pk & 0x7FFF, pk >> 15
+    pk = jnp.where(sbin < nbins, filled, 0)
+    pk = jax.lax.sort((skey & 0x7FFF) << 13 | pk, dimension=0)
+    l = (pk >> 9) & 15
+    r = pk & 511
+    nc = jnp.zeros((N,), jnp.int32)
+    for i in range(1, 16):
+        nc = jnp.where(l == i, next_code[i], nc)
+    code = H.bit_reverse(nc + r, l)
+    return jnp.where(l > 0, code, 0), l
+
+
+def _choose_one(offset, fb, db, bl, lv, level: int):
+    """Pick-min ladder for one block given its entry bit offset
+    (reference deflate.hpp:739-746); broadcast-safe."""
+    pad = (-(offset + 3)) & 7
+    stored = 3 + pad + 32 + 8 * bl
+    if level == 0:
+        choice = jnp.broadcast_to(jnp.int32(CH_STORED), stored.shape)
+    else:
+        choice = jnp.where(stored <= jnp.minimum(fb, db), CH_STORED,
+                           jnp.where(fb <= db, CH_FIXED, CH_DYN))
+    bits = jnp.where(choice == CH_STORED, stored,
+                     jnp.where(choice == CH_FIXED, fb, db))
+    bits = jnp.where(lv, bits, 0)
+    pad = jnp.where(lv, pad, 0)
+    return choice, pad, bits
 
 
 def choose_blocks(fixed_bits, dyn_bits, blens, live, level: int,
-                  phase0=0):
-    """Stage B: exact per-block type choice + bit offsets (lax.scan over B).
+                  phase0=0, chunk: int = 8):
+    """Stage B: exact per-block type choice + bit offsets.
 
     Mirrors the reference's pick-min ladder (deflate.hpp:739-746) but with
     the stored-block byte-align padding computed exactly from the running
@@ -244,28 +272,61 @@ def choose_blocks(fixed_bits, dyn_bits, blens, live, level: int,
     stitched back-to-back at bit granularity, so stored-block padding must
     see the global phase.  Returns (choice, pad, offset, bits) each int32
     [B]; offsets are absolute (include phase0).
-    """
-    def step(offset, x):
-        fb, db, bl, lv = x
-        pad = (-(offset + 3)) & 7
-        stored = 3 + pad + 32 + 8 * bl
-        if level == 0:
-            choice = jnp.int32(CH_STORED)
-        elif level == 1:
-            choice = jnp.where(stored <= jnp.minimum(fb, db), CH_STORED,
-                               jnp.where(fb <= db, CH_FIXED, CH_DYN))
-        else:
-            choice = jnp.where(stored <= jnp.minimum(fb, db), CH_STORED,
-                               jnp.where(fb <= db, CH_FIXED, CH_DYN))
-        bits = jnp.where(choice == CH_STORED, stored,
-                         jnp.where(choice == CH_FIXED, fb, db))
-        bits = jnp.where(lv, bits, 0)
-        pad = jnp.where(lv, pad, 0)
-        return offset + bits, (choice, pad, offset, bits)
 
-    _, (choice, pad, offset, bits) = jax.lax.scan(
-        step, jnp.int32(phase0), (fixed_bits, dyn_bits, blens, live))
-    return choice, pad, offset, bits
+    The only cross-block dependency is the running offset, and block bits
+    depend on it only through offset mod 8 (the stored padding).  Three
+    passes replace the naive B-step scan (sequential lax.scan steps cost
+    ~4-20 us EACH on v5e regardless of body size): (1) `chunk` unrolled
+    steps, vectorized across chunks, compute each chunk's total bits for
+    all 8 entry phases; (2) one B/chunk-step scan threads the offset
+    through chunks; (3) `chunk` unrolled steps re-derive per-block
+    outputs from the now-known chunk entry offsets.
+    """
+    B = fixed_bits.shape[0]
+    phase0 = jnp.asarray(phase0, jnp.int32)
+    if B % chunk or B <= chunk:
+        def step(offset, x):
+            fb, db, bl, lv = x
+            choice, pad, bits = _choose_one(offset, fb, db, bl, lv, level)
+            return offset + bits, (choice, pad, offset, bits)
+
+        _, (choice, pad, offset, bits) = jax.lax.scan(
+            step, phase0, (fixed_bits, dyn_bits, blens, live))
+        return choice, pad, offset, bits
+
+    C = B // chunk
+    fb = fixed_bits.reshape(C, chunk)
+    db = dyn_bits.reshape(C, chunk)
+    bl = blens.reshape(C, chunk)
+    lv = live.reshape(C, chunk)
+
+    # pass 1: per-chunk total bits for each of the 8 entry phases
+    off8 = jnp.broadcast_to(jnp.arange(8, dtype=jnp.int32)[None], (C, 8))
+    tot8 = jnp.zeros((C, 8), jnp.int32)
+    for j in range(chunk):
+        _, _, bits = _choose_one(off8, fb[:, j:j + 1], db[:, j:j + 1],
+                                 bl[:, j:j + 1], lv[:, j:j + 1], level)
+        off8 = off8 + bits
+        tot8 = tot8 + bits
+
+    # pass 2: thread the offset through chunks (C scan steps)
+    def cstep(o, t8):
+        sel = jnp.sum(jnp.where(jnp.arange(8) == (o & 7), t8, 0))
+        return o + sel, o
+
+    _, centry = jax.lax.scan(cstep, phase0, tot8)
+
+    # pass 3: per-block outputs at the actual entry offsets
+    off = centry                                   # [C]
+    outs = []
+    for j in range(chunk):
+        choice, pad, bits = _choose_one(off, fb[:, j], db[:, j],
+                                        bl[:, j], lv[:, j], level)
+        outs.append((choice, pad, off, bits))
+        off = off + bits
+    stack = [jnp.stack([o[i] for o in outs], axis=1).reshape(B)
+             for i in range(4)]
+    return tuple(stack)
 
 
 def _emit_fields(block, blen, plan, choice, pad, bfinal):
@@ -279,12 +340,13 @@ def _emit_fields(block, blen, plan, choice, pad, bfinal):
     dyn = choice == CH_DYN
 
     # --- code tables for the huffman paths (small [288]/[30] arrays) ---
-    dyn_lit_codes, _ = H.canonical_codes(plan["dyn_lit_lens"])
+    dyn_lit_rank, dyn_lit_nc = H.canonical_parts(plan["dyn_lit_lens"])
     dyn_dist_codes, _ = H.canonical_codes(plan["dyn_dist_lens"])
-    fx_lit_codes, _ = H.canonical_codes(_J(T.FIXED_LITLEN_LENGTHS))
+    fx_lit_rank, fx_lit_nc = H.canonical_parts(_J(T.FIXED_LITLEN_LENGTHS))
     fx_dist_codes, _ = H.canonical_codes(_J(T.FIXED_DIST_LENGTHS))
 
-    lit_codes = jnp.where(dyn, dyn_lit_codes, fx_lit_codes[:T.NUM_LITLEN])
+    lit_rank = jnp.where(dyn, dyn_lit_rank, fx_lit_rank[:T.NUM_LITLEN])
+    lit_nc = jnp.where(dyn, dyn_lit_nc, fx_lit_nc)
     lit_lens = jnp.where(dyn, plan["dyn_lit_lens"], _J(T.FIXED_LITLEN_LENGTHS))
     dist_codes = jnp.where(dyn, dyn_dist_codes, fx_dist_codes[:30])
     dist_lens = jnp.where(dyn, plan["dyn_dist_lens"],
@@ -293,7 +355,8 @@ def _emit_fields(block, blen, plan, choice, pad, bfinal):
     # --- per-position (code, len) via the sorted keys — no [N] gathers ---
     cnt_l = plan["hist_lit"].at[256].add(-1)        # sorted keys lack EOB
     e_lit_v, e_lit_l = _apply_table_sorted(plan["skey_l"], cnt_l[:286],
-                                           lit_codes, lit_lens, 286)
+                                           lit_lens, lit_rank, lit_nc,
+                                           286)
     # dist table apply: only 30 symbols and dcode is already arithmetic
     # per position, so a 30-term select-chain (~90 elementwise ops) beats
     # the sorted apply's cummax + restore sort (~3 ns/elem)
@@ -332,9 +395,10 @@ def _emit_fields(block, blen, plan, choice, pad, bfinal):
                             fld << jnp.clip(sh - 32, 0, 31).astype(jnp.uint32))
         sh = sh + l
 
-    # --- hierarchical packet fusion: three halving levels fold up to 8
+    # --- hierarchical packet fusion: four halving levels fold up to 16
     # consecutive tokens (literal runs, match+literal mixes) whose bits
-    # fit one <=64-bit packet.  The
+    # fit one <=64-bit packet (16 tokens fuse when codes run <=4 bits —
+    # common on skewed text).  The
     # scalar-core packer costs ~12 ns PER PACKET regardless of width
     # (ops/pallas_pack.py) and text blocks are literal runs, so this
     # cuts the hottest encode stage up to 8x.  The bitstream emitted is
@@ -361,7 +425,7 @@ def _emit_fields(block, blen, plan, choice, pad, bfinal):
     # hiding between the halves would be reordered.  Matches may always
     # join on the RIGHT (their coverage just accumulates).
     runw = jnp.where(lr, jnp.where(m, tk["len"], 1), 0)
-    for lvl in range(3):
+    for lvl in range(4):
         w = 1 << lvl
         loR = lo.reshape(-1, 2 * w)
         hiR = hi.reshape(-1, 2 * w)
@@ -396,7 +460,9 @@ def _emit_fields(block, blen, plan, choice, pad, bfinal):
     hl = jnp.where(dyn, plan["header_lens"], 0)
 
     eob_len = jnp.where(stored, 0, lit_lens[256])
-    ev = (lit_codes[256].astype(jnp.uint32)
+    eob_code = H.bit_reverse(lit_nc[jnp.clip(lit_lens[256], 0, 15)]
+                             + lit_rank[256], lit_lens[256])
+    ev = (eob_code.astype(jnp.uint32)
           & ((jnp.uint32(1) << eob_len.astype(jnp.uint32)) - 1))
 
     return {"lo": lo, "hi": hi, "sh": sh, "sh_sym": sh_sym,
@@ -468,14 +534,10 @@ def emit_block(block, blen, plan, choice, pad, bfinal):
     return _finish_block(words, block, blen, stored, pad, nbits)
 
 
-def build_packets(block, blen, plan, choice, pad, bfinal):
-    """Stage C, Pallas backend: flatten one block's emission into the
-    packet-list contract of ops/pallas_pack.py — (off, lo, hi) int32 [NPK]
-    plus the live-packet count.  Live tokens are compacted to the front
-    by one sort (key = position; dead lanes to the tail) so the kernel
-    loop runs exactly `count` iterations."""
-    from deflate_tpu.ops.pallas_pack import NPK
-
+def _packet_pre(block, blen, plan, choice, pad, bfinal):
+    """Stage C (Pallas backend) part 1, per block: emission fields plus
+    the compaction displacement — everything before the batched routing
+    kernel."""
     f = _emit_fields(block, blen, plan, choice, pad, bfinal)
     bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa: E731
 
@@ -483,12 +545,6 @@ def build_packets(block, blen, plan, choice, pad, bfinal):
     hmask = jnp.where(hdr_lens > 0,
                       (jnp.int32(1) << jnp.minimum(hdr_lens, 16)) - 1, 0)
     hdr_lo = jnp.concatenate([f["hdr3"], f["hv"]]).astype(jnp.int32) & hmask
-    HD = hdr_lo.shape[0]
-
-    # compact live packets to the front with monotone log-shift routing
-    # (ops/wave.py) — replaces a 4-operand [N] sort (~3.8 ns/elem) with
-    # ~16 elementwise shift rounds (~0.2 ns/elem)
-    from deflate_tpu.ops.wave import route_monotone_left
 
     live = jnp.concatenate([f["live_tok"], (~f["stored"])[None]])
     lo_t = jnp.concatenate([bc(f["lo"]), bc(f["eob_v"])[None]])
@@ -498,22 +554,64 @@ def build_packets(block, blen, plan, choice, pad, bfinal):
     rank = jnp.cumsum(lv) - lv
     lane = jnp.arange(N + 1, dtype=jnp.int32)
     delta = jnp.where(live, lane - rank, -1)
-    (slo, shi, ssh), dout = route_monotone_left(
-        [lo_t, hi_t, sh_t], delta, 16)
-    landed = dout == 0
-    slo = jnp.where(landed, slo, 0)
-    shi = jnp.where(landed, shi, 0)
-    ssh = jnp.where(landed, ssh, 0)
+    return {"lo_t": lo_t, "hi_t": hi_t, "sh_t": sh_t, "delta": delta,
+            "hdr_lo": hdr_lo, "hdr_lens": hdr_lens,
+            "n_live": f["n_live"], "stored": f["stored"]}
 
-    z = jnp.zeros((NPK - HD - (N + 1),), jnp.int32)
-    all_lo = jnp.concatenate([hdr_lo, slo, z])
-    all_hi = jnp.concatenate([jnp.zeros((HD,), jnp.int32), shi, z])
-    all_sh = jnp.concatenate([hdr_lens, ssh, z])
+
+def _packet_post(pre, slo, shi, ssh):
+    """Stage C (Pallas backend) part 2, per block: prepend the header
+    entries to the routed token packets, prefix-sum the bit offsets."""
+    from deflate_tpu.ops.pallas_pack import NPK
+
+    hdr_lo, hdr_lens = pre["hdr_lo"], pre["hdr_lens"]
+    HD = hdr_lo.shape[0]
+    take = min(slo.shape[0], NPK - HD)
+    z = jnp.zeros((NPK - HD - take,), jnp.int32)
+    all_lo = jnp.concatenate([hdr_lo, slo[:take], z])
+    all_hi = jnp.concatenate([jnp.zeros((HD,), jnp.int32),
+                              shi[:take], z])
+    all_sh = jnp.concatenate([hdr_lens, ssh[:take], z])
     off = jnp.cumsum(all_sh) - all_sh
     nbits = off[-1] + all_sh[-1]
-    count = HD + jnp.where(f["stored"], 0, f["n_live"] + 1)
+    count = HD + jnp.where(pre["stored"], 0, pre["n_live"] + 1)
     return (off.astype(jnp.int32), all_lo, all_hi,
-            count.astype(jnp.int32), nbits, f["stored"])
+            count.astype(jnp.int32), nbits, pre["stored"])
+
+
+def _route_packets(pre, interpret: bool = False):
+    """Batched compaction of live packets to the front — monotone
+    log-shift routing (ops/wave.py semantics) on the Pallas VMEM-resident
+    kernel (ops/wave_route.py); replaces a 4-operand [N] sort."""
+    from deflate_tpu.ops.pallas_pack import NPK
+    from deflate_tpu.ops.wave_route import route_pallas
+
+    padw = NPK - (N + 1)
+    p2 = lambda a, c=0: jnp.pad(a, ((0, 0), (0, padw)),  # noqa: E731
+                                constant_values=c)
+    (slo, shi, ssh), dout = route_pallas(
+        [p2(pre["lo_t"]), p2(pre["hi_t"]), p2(pre["sh_t"])],
+        p2(pre["delta"], -1), 16, left=True, interpret=interpret)
+    landed = dout == 0
+    return (jnp.where(landed, slo, 0), jnp.where(landed, shi, 0),
+            jnp.where(landed, ssh, 0))
+
+
+def build_packets(block, blen, plan, choice, pad, bfinal):
+    """Stage C, Pallas backend, single-block convenience: flatten one
+    block's emission into the packet-list contract of ops/pallas_pack.py
+    — (off, lo, hi) int32 [NPK] plus the live-packet count.  Batch
+    callers use _packet_pre / _route_packets / _packet_post so the
+    routing rounds run in the VMEM-resident kernel."""
+    from deflate_tpu.ops.wave import route_monotone_left
+
+    pre = _packet_pre(block, blen, plan, choice, pad, bfinal)
+    (slo, shi, ssh), dout = route_monotone_left(
+        [pre["lo_t"], pre["hi_t"], pre["sh_t"]], pre["delta"], 16)
+    landed = dout == 0
+    return _packet_post(pre, jnp.where(landed, slo, 0),
+                        jnp.where(landed, shi, 0),
+                        jnp.where(landed, ssh, 0))
 
 
 def _finish_block(words, block, blen, stored, pad, nbits):
@@ -589,10 +687,13 @@ def encode_batch(blocks, blens, live, final_idx, level: int, phase0=0,
     if pack == "kernel":
         from deflate_tpu.ops import pallas_pack as PK
 
-        offp, lop, hip, counts, nbitsp, storedv = jax.vmap(
-            lambda bl, ln, i, ch, pd, bf: build_packets(
+        pre = jax.vmap(
+            lambda bl, ln, i, ch, pd, bf: _packet_pre(
                 bl, ln, jax.tree.map(lambda x: x[i], plans), ch, pd, bf)
         )(blocks, blens, jnp.arange(B), choice, pad, bfinal)
+        slo, shi, ssh = _route_packets(pre)
+        offp, lop, hip, counts, nbitsp, storedv = jax.vmap(_packet_post)(
+            pre, slo, shi, ssh)
         words = PK.pack_blocks(counts, offp, lop, hip)[:, :WB]
         words = jax.vmap(_finish_block)(words, blocks, blens, storedv,
                                         pad, nbitsp)

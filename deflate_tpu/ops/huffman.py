@@ -51,6 +51,21 @@ def _next_codes(bl_count):
     return jnp.stack(codes)
 
 
+def canonical_parts(lengths: jax.Array):
+    """Canonical-code building blocks: (rank-within-length int32 [n],
+    next_code int32 [16]).  code(sym) = next_code[len] + rank — kept
+    apart so the encoder's sorted table-apply can propagate the compact
+    (len, rank) pair and reconstruct codes arithmetically."""
+    L = jnp.arange(1, MAX_CODE_LEN + 1, dtype=jnp.int32)
+    onehot = (lengths[:, None] == L[None, :]).astype(jnp.int32)   # [n, 15]
+    bl_count = onehot.sum(axis=0)                                  # [15]
+    next_code = _next_codes(bl_count)                              # [16]
+    rank = jnp.cumsum(onehot, axis=0) - onehot                     # [n, 15]
+    li = jnp.clip(lengths - 1, 0, MAX_CODE_LEN - 1)
+    rank_i = jnp.take_along_axis(rank, li[:, None], axis=1)[:, 0]
+    return rank_i, next_code
+
+
 def canonical_codes(lengths: jax.Array):
     """Canonical code assignment from code lengths.
 
@@ -58,15 +73,7 @@ def canonical_codes(lengths: jax.Array):
     Returns (codes int32 [n] — already bit-reversed, ready for LSB-first
     emission; lengths passthrough).
     """
-    n = lengths.shape[0]
-    L = jnp.arange(1, MAX_CODE_LEN + 1, dtype=jnp.int32)
-    onehot = (lengths[:, None] == L[None, :]).astype(jnp.int32)   # [n, 15]
-    bl_count = onehot.sum(axis=0)                                  # [15]
-    next_code = _next_codes(bl_count)                              # [16]
-
-    rank = jnp.cumsum(onehot, axis=0) - onehot                     # [n, 15]
-    li = jnp.clip(lengths - 1, 0, MAX_CODE_LEN - 1)
-    rank_i = jnp.take_along_axis(rank, li[:, None], axis=1)[:, 0]
+    rank_i, next_code = canonical_parts(lengths)
     code = next_code[jnp.clip(lengths, 0, MAX_CODE_LEN)] + rank_i
     code = jnp.where(lengths > 0, code, 0)
     return bit_reverse(code, lengths), lengths

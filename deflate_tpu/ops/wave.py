@@ -710,19 +710,26 @@ def wave_decode(nwords, hints, out_expect, md, W64: int,
     dist); nmatch [B]; produced [B]; err [B] int32).
     """
     B, S = nwords.shape[0], 64 * W64
-    if bool(int(os.environ.get("DT_STAGEA_PALLAS", "1"))):
-        from deflate_tpu.ops.wave_stagea import decode_positions_pallas
-        A0, P1 = decode_positions_pallas(nwords, md, W64,
-                                         interpret=interpret)
+    if bool(int(os.environ.get("DT_STAGEAB_PALLAS", "1"))):
+        # fused stage A+B kernel: per-position decode, stop override,
+        # and the chunk automaton without leaving VMEM
+        from deflate_tpu.ops.wave_stagea import decode_mark_pallas
+        A0, P1, rank_rows, sums = decode_mark_pallas(
+            nwords, hints, md, W64, stop_bit, interpret=interpret)
     else:
-        A0, P1 = decode_positions(nwords, md, W64)
-    if stop_bit is not None:
-        # A0[:, t, w] holds bit position 64*w + t
-        pos = (jnp.arange(W64, dtype=I32)[None, None, :] * 64
-               + jnp.arange(64, dtype=I32)[None, :, None])
-        hit = pos == stop_bit.astype(I32)[:, None, None]
-        A0 = jnp.where(hit, 1 | (2 << 15), A0)
-    sums, rank_rows = chunk_automaton(A0, hints, W64)
+        if bool(int(os.environ.get("DT_STAGEA_PALLAS", "1"))):
+            from deflate_tpu.ops.wave_stagea import decode_positions_pallas
+            A0, P1 = decode_positions_pallas(nwords, md, W64,
+                                             interpret=interpret)
+        else:
+            A0, P1 = decode_positions(nwords, md, W64)
+        if stop_bit is not None:
+            # A0[:, t, w] holds bit position 64*w + t
+            pos = (jnp.arange(W64, dtype=I32)[None, None, :] * 64
+                   + jnp.arange(64, dtype=I32)[None, :, None])
+            hit = pos == stop_bit.astype(I32)[:, None, None]
+            A0 = jnp.where(hit, 1 | (2 << 15), A0)
+        sums, rank_rows = chunk_automaton(A0, hints, W64)
     sstart = _exclusive(sums["sum_cnt"])
     produced = jnp.sum(sums["sum_emit"], axis=1)
     nsym = sstart[:, -1] + sums["sum_cnt"][:, -1]

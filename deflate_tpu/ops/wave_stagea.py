@@ -35,11 +35,9 @@ def stack_md(md) -> jax.Array:
     return jnp.stack([md[k].astype(jnp.int32) for k in MD_KEYS], axis=1)
 
 
-def _kernel(we_ref, wo_ref, w2_ref, w3_ref, md_ref, a0_ref, p1_ref,
-            *, TW: int):
+def _build_peeks_tile(we, wo, w2, w3, TW: int):
+    """Peek windows for one column tile: PK, PKH each [64, TW]."""
     srl = jax.lax.shift_right_logical
-    we, wo = we_ref[0], wo_ref[0]          # [1, TW] each
-    w2, w3 = w2_ref[0], w3_ref[0]
     p = jax.lax.broadcasted_iota(jnp.int32, (64, TW), 0)
     pm = p & 31
     sel = p >= 32
@@ -49,6 +47,14 @@ def _kernel(we_ref, wo_ref, w2_ref, w3_ref, md_ref, a0_ref, p1_ref,
     pmc = jnp.where(pm == 0, 1, pm)          # keep shifts in 1..31
     PK = jnp.where(pm == 0, b0, srl(b0, pmc) | (b1 << (32 - pmc)))
     PKH = jnp.where(pm == 0, b1, srl(b1, pmc) | (b2 << (32 - pmc)))
+    return PK, PKH
+
+
+def _kernel(we_ref, wo_ref, w2_ref, w3_ref, md_ref, a0_ref, p1_ref,
+            *, TW: int):
+    we, wo = we_ref[0], wo_ref[0]          # [1, TW] each
+    w2, w3 = w2_ref[0], w3_ref[0]
+    PK, PKH = _build_peeks_tile(we, wo, w2, w3, TW)
 
     ki = {k: i for i, k in enumerate(MD_KEYS)}
 
@@ -58,6 +64,123 @@ def _kernel(we_ref, wo_ref, w2_ref, w3_ref, md_ref, a0_ref, p1_ref,
     A0, P1 = W.decode_core(PK, PKH, g)
     a0_ref[0] = A0
     p1_ref[0] = P1
+
+
+SUM_KEYS = ("Mlo", "Mhi", "Clo", "Chi", "sum_emit", "sum_cnt",
+            "sum_match", "sum_eob", "sum_inv")
+
+
+def _kernel_ab(we_ref, wo_ref, w2_ref, w3_ref, h_ref, md_ref,
+               a0_ref, p1_ref, rk_ref, sm_ref, *, TW: int):
+    """Fused stages A+B: per-bit-position decode AND the 64-step chunk
+    mark automaton, per (block, column-tile) — A0/P1 never leave VMEM
+    between the two stages.  Chunks are hint-seeded and therefore
+    independent, so the automaton tiles on the same grid as stage A
+    (wave.chunk_automaton is the XLA reference; differential-tested).
+    """
+    srl = jax.lax.shift_right_logical
+    i32 = jnp.int32
+    we, wo = we_ref[0], wo_ref[0]
+    w2, w3 = w2_ref[0], w3_ref[0]
+    PK, PKH = _build_peeks_tile(we, wo, w2, w3, TW)
+
+    ki = {k: i for i, k in enumerate(MD_KEYS)}
+
+    def g(key, l):
+        return md_ref[0, ki[key], l]
+
+    A0, P1 = W.decode_core(PK, PKH, g)
+
+    # synthetic stop (skeleton-cut virtual blocks): override the decode
+    # at exactly stop_bit with an EOB record (advance 1, emit 0, cls 2).
+    # stop rides row 7 of the md SMEM table (a dedicated (1, 1) SMEM
+    # block would violate the Mosaic tiling rule — caught by the
+    # real-TPU smoke, the round-2 lesson).
+    j = pl.program_id(1)
+    col = jax.lax.broadcasted_iota(i32, (64, TW), 1) + j * TW
+    row = jax.lax.broadcasted_iota(i32, (64, TW), 0)
+    pos = col * 64 + row
+    A0 = jnp.where(pos == md_ref[0, len(MD_KEYS), 0], 1 | (2 << 15), A0)
+
+    # ---- chunk automaton (wave.chunk_automaton, [TW]-lane form) ------
+    h = h_ref[0]                                   # [1, TW]
+    z = jnp.zeros((1, TW), i32)
+    Mlo = jnp.where(h < 32, 1 << jnp.clip(h, 0, 31), 0)
+    Mhi = jnp.where((h >= 32) & (h < 64), 1 << jnp.clip(h - 32, 0, 31), 0)
+    Clo = Chi = se = sc = sm = sb = si = z
+    rank_rows = []
+    for t in range(64):
+        a = A0[t:t + 1, :]
+        bit = (srl(Mlo, t) if t < 32 else srl(Mhi, t - 32)) & 1
+        adv_t = a & 63
+        emit_t = srl(a, 6) & 511
+        cls_t = srl(a, 15) & 3
+        stop_t = cls_t >= 2
+        rank_rows.append(sc)
+        live = bit & (1 - stop_t.astype(i32))
+        nt = t + adv_t
+        if t < 31:
+            Mlo = Mlo | jnp.where(nt < 32, live << jnp.clip(nt, 0, 31), 0)
+        Mhi = Mhi | jnp.where((nt >= 32) & (nt < 64),
+                              live << jnp.clip(nt - 32, 0, 31), 0)
+        Clo = Clo | jnp.where((nt >= 64) & (nt < 96),
+                              live << jnp.clip(nt - 64, 0, 31), 0)
+        Chi = Chi | jnp.where(nt >= 96,
+                              live << jnp.clip(nt - 96, 0, 31), 0)
+        se = se + bit * emit_t
+        sc = sc + bit
+        sm = sm + bit * (cls_t == 1).astype(i32)
+        sb = sb + bit * (cls_t == 2).astype(i32)
+        si = si + bit * (cls_t == 3).astype(i32)
+
+    a0_ref[0] = A0
+    p1_ref[0] = P1
+    rk_ref[0] = jnp.concatenate(rank_rows, axis=0)
+    sm_ref[0] = jnp.concatenate(
+        [Mlo, Mhi, Clo, Chi, se, sc, sm, sb, si], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("W64", "interpret"))
+def decode_mark_pallas(nwords, hints, md, W64: int, stop_bit=None,
+                       interpret: bool = False):
+    """Fused stage A+B: returns (A0, P1, rank_rows each [B, 64, W64],
+    sums dict of [B, W64]) — drop-in for decode_positions +
+    chunk_automaton (with the stop_bit override applied in between)."""
+    B = nwords.shape[0]
+    TW = next(t for t in (512, 256, 128) if W64 % t == 0)
+    we = nwords[:, 0:2 * W64:2][:, None, :]
+    wo = nwords[:, 1:2 * W64 + 1:2][:, None, :]
+    w2 = nwords[:, 2:2 * W64 + 2:2][:, None, :]
+    w3 = nwords[:, 3:2 * W64 + 3:2][:, None, :]
+    hr = hints.astype(jnp.int32)[:, None, :]
+    # md rows 0..6 + stop_bit in row 7 col 0 (one SMEM operand — a
+    # standalone (1, 1) SMEM block fails the Mosaic tiling rule)
+    if stop_bit is None:
+        stop = jnp.full((B,), -1, jnp.int32)
+    else:
+        stop = stop_bit.astype(jnp.int32).reshape(B)
+    srow = jnp.zeros((B, 1, 16), jnp.int32).at[:, 0, 0].set(stop)
+    mds = jnp.concatenate([stack_md(md), srow], axis=1)
+
+    ws = pl.BlockSpec((1, 1, TW), lambda b, j: (b, 0, j),
+                      memory_space=pltpu.VMEM)
+    ms = pl.BlockSpec((1, len(MD_KEYS) + 1, 16), lambda b, j: (b, 0, 0),
+                      memory_space=pltpu.SMEM)
+    os_ = pl.BlockSpec((1, 64, TW), lambda b, j: (b, 0, j),
+                       memory_space=pltpu.VMEM)
+    sms = pl.BlockSpec((1, len(SUM_KEYS), TW), lambda b, j: (b, 0, j),
+                       memory_space=pltpu.VMEM)
+    A0, P1, rk, sm = pl.pallas_call(
+        functools.partial(_kernel_ab, TW=TW),
+        grid=(B, W64 // TW),
+        in_specs=[ws, ws, ws, ws, ws, ms],
+        out_specs=[os_, os_, os_, sms],
+        out_shape=[jax.ShapeDtypeStruct((B, 64, W64), jnp.int32)] * 3
+        + [jax.ShapeDtypeStruct((B, len(SUM_KEYS), W64), jnp.int32)],
+        interpret=interpret,
+    )(we, wo, w2, w3, hr, mds)
+    sums = {k: sm[:, i] for i, k in enumerate(SUM_KEYS)}
+    return A0, P1, rk, sums
 
 
 @functools.partial(jax.jit, static_argnames=("W64", "interpret"))

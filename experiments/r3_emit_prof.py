@@ -55,10 +55,9 @@ def main():
     def apply_lit(i):
         p = jax.tree.map(lambda x: x[i], plans)
         cnt_l = p["hist_lit"].at[256].add(-1)
-        dyn_lit_codes, _ = H.canonical_codes(p["dyn_lit_lens"])
+        rank, nc = H.canonical_parts(p["dyn_lit_lens"])
         return E._apply_table_sorted(p["skey_l"], cnt_l[:286],
-                                     dyn_lit_codes,
-                                     p["dyn_lit_lens"], 286)
+                                     p["dyn_lit_lens"], rank, nc, 286)
 
     timeit("C1a lit sorted-apply (seed+cummax+RESTORE)",
            jax.jit(jax.vmap(apply_lit)), jnp.arange(NB))

@@ -392,6 +392,45 @@ def test_stagea_pallas_equivalence():
     assert (np.asarray(P1x) == np.asarray(P1p)).all()
 
 
+def test_stageab_fused_equivalence():
+    """decode_mark_pallas (fused A+B, interpret) matches decode_positions
+    + chunk_automaton bit-exactly, including the stop_bit override."""
+    from deflate_tpu.ops.wave_stagea import SUM_KEYS, decode_mark_pallas
+
+    rng = np.random.default_rng(11)
+    data = (rng.integers(97, 123, 50000, dtype=np.uint8).tobytes()
+            + np.tile(rng.integers(0, 256, 97, dtype=np.uint8),
+                      300).tobytes())
+    stream, offs = _encode_own(data)
+    md = W.parse_headers_host(stream, offs)
+    hints, span = W.hints_from_walk_host(stream, offs)
+    W64 = int(-(-int(span.max()) // 64 // 128) * 128)
+    nwords = jnp.asarray(W.prepare_windows(stream, md["data_start"], W64))
+    B = nwords.shape[0]
+    hs = np.full((B, W64), W.HINT_NONE, np.uint8)
+    hs[:, :min(W64, hints.shape[1])] = hints[:, :W64]
+    hsj = jnp.asarray(hs, jnp.int32)
+    mdj = {k: jnp.asarray(v) for k, v in md.items()
+           if k.startswith(("l_", "d_"))}
+
+    for stop in (None, jnp.asarray(
+            np.where(np.arange(B) % 2 == 0, 777, -1), jnp.int32)):
+        A0x, P1x = W.decode_positions(nwords, mdj, W64)
+        if stop is not None:
+            pos = (jnp.arange(W64, dtype=jnp.int32)[None, None, :] * 64
+                   + jnp.arange(64, dtype=jnp.int32)[None, :, None])
+            A0x = jnp.where(pos == stop[:, None, None], 1 | (2 << 15),
+                            A0x)
+        sums_x, rk_x = W.chunk_automaton(A0x, hsj, W64)
+        A0p, P1p, rk_p, sums_p = decode_mark_pallas(
+            nwords, hsj, mdj, W64, stop, interpret=True)
+        assert (np.asarray(A0x) == np.asarray(A0p)).all()
+        assert (np.asarray(P1x) == np.asarray(P1p)).all()
+        assert (np.asarray(rk_x) == np.asarray(rk_p)).all()
+        for k in SUM_KEYS:
+            assert (np.asarray(sums_x[k]) == np.asarray(sums_p[k])).all(), k
+
+
 def test_fill_matches_adversarial_overlaps():
     """Direct stage-G kernel test: every distance class (dist 1,2,3 ->
     pattern + promotion path; 4..8 -> word-funnel overlap; large),
