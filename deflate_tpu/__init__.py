@@ -261,13 +261,21 @@ def _decompress_impl(raw: bytes, out_size, device: bool,
     return _hi.inflate_raw(raw, out_size)
 
 
+#: Count of wave-path decode attempts that raised and fell back to the
+#: slower decoders (surfaced so a silent ~50x degradation is visible;
+#: VERDICT r3 #9).  Reset-able by callers/tests.
+wave_fallback_count = 0
+
+
 def _try_wave_decompress(raw: bytes, out_size) -> bytes | None:
     """Wavefront path for a bare stream (no manifest): a native skeleton
     walk derives every block's bit offset, output size, and per-chunk
     entry-phase hints, then the wavefront VPU decoder
     (models/wave_decoder.py) decodes all blocks in parallel.  Returns
-    None when the walk or decoder cannot represent the stream (any
-    error falls through to the scalar-core / speculative paths)."""
+    None when the walk or decoder cannot represent the stream; an
+    unexpected *error* (e.g. a Mosaic lowering failure on new hardware)
+    also falls back, but is logged + counted rather than swallowed."""
+    global wave_fallback_count
     try:
         import jax
 
@@ -283,7 +291,14 @@ def _try_wave_decompress(raw: bytes, out_size) -> bytes | None:
         if out_size is not None and len(out) != out_size:
             return None
         return out
-    except Exception:
+    except Exception as e:          # pragma: no cover - exercised in tests
+        wave_fallback_count += 1
+        import warnings
+
+        warnings.warn(
+            f"deflate_tpu: wavefront decode failed ({type(e).__name__}: "
+            f"{e}); falling back to the slower scalar-core/host path",
+            RuntimeWarning, stacklevel=2)
         return None
 
 

@@ -106,10 +106,11 @@ def test_leg_b_our_stream_reference_inflate(name, level):
 @pytest.mark.parametrize("name,bar", [("tiny.bmp", 67), ("test.bmp", 3124)])
 def test_leg_c_size_at_or_below_reference_level3(name, bar):
     """The reference's level 3 is its only correct compressor; its sizes
-    are the bar (SURVEY.md §6).  The native backend must beat it; the TPU
-    path must be within 5% while kernels mature."""
+    are the bar (SURVEY.md §6).  Both backends must beat it outright
+    (the TPU path has since r2 — 2976 vs 3124; VERDICT r3 #7 dropped the
+    former 5% maturation slack)."""
     data = CORPUS[name]
     native = deflate_tpu.compress(data, 3, backend="native")
     assert len(native) <= bar
     tpu = deflate_tpu.compress(data, 3)
-    assert len(tpu) <= int(bar * 1.05)
+    assert len(tpu) <= bar

@@ -200,3 +200,39 @@ class TestStreamingDecompressFile:
         src.write_bytes(st[: len(st) // 2])
         with _p.raises(D.InflateError):
             D.decompress_file(str(src), str(tmp_path / "o"), chunk_bytes=2048)
+
+
+class TestWaveFallbackSurfacing:
+    """VERDICT r3 #9: a wave-path *error* must warn + count, then still
+    decode correctly via the fallback ladder (not silently degrade)."""
+
+    def test_synthetic_wave_failure_warns_and_falls_back(self, monkeypatch):
+        import deflate_tpu as D
+        from deflate_tpu.models import wave_decoder as WD
+
+        data = b"surface the failure " * 2000
+        stream = D.compress(data, 2)
+
+        def boom(raw):
+            raise RuntimeError("synthetic Mosaic lowering failure")
+
+        monkeypatch.setattr(WD, "skeleton_plan", boom)
+        before = D.wave_fallback_count
+        stats = {}
+        with pytest.warns(RuntimeWarning, match="wavefront decode failed"):
+            out = D.decompress(stream, device=True, stats=stats)
+        assert out == data
+        assert D.wave_fallback_count == before + 1
+        assert stats["device_path"] != "wave"
+
+    def test_unsupported_stream_returns_none_without_warning(self):
+        import warnings
+
+        import deflate_tpu as D
+
+        data = b"clean path " * 3000
+        stream = D.compress(data, 2)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            out = D.decompress(stream, device=True)
+        assert out == data
