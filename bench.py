@@ -8,6 +8,15 @@ measures ~15 MB/s on one CPU core — and even that emits corrupt streams
 (SURVEY.md B1); its fastest *correct* level (3) runs at ~0.016-0.05 MB/s.
 We compare against the generous 15 MB/s number.
 
+Leg order (VERDICT r3 #1): L2 encode -> DEVICE DECODE -> L3 -> host decode
+-> foreign-stream decode.  Each optional leg has its own wall-clock guard
+(checked before the leg starts, generous because the remote compile
+service's latency is noisy: the same L2 program compiled in 47 s, 123 s
+and >540 s across three probes) and its own try/except, so one slow leg
+can never wipe out the others' datapoints.  The persistent XLA compile
+cache (~/.cache/deflate_tpu_jax) makes warm reruns replay every program
+in <1 s.
+
 Timing notes for this environment: the dev tunnel to the TPU has ~26 ms
 round-trip latency and slow device->host transfers, so the timed loop syncs
 on a scalar reduction of the outputs (full computation forced, no bulk
@@ -32,6 +41,13 @@ _T0 = time.perf_counter()
 REF_ENCODE_MBPS = 15.0          # reference level-2, one CPU core (BASELINE.md)
 NBLOCKS = 256                   # 8 MiB per device call
 LEVEL = 2
+L3_BLOCKS = 32                  # 1 MiB slice for the L3 leg
+
+# per-leg start deadlines (seconds since bench start); a leg is skipped
+# only when the bench is ALREADY this old when the leg would begin
+DEADLINE_DECODE = 1000.0
+DEADLINE_L3 = 1300.0
+DEADLINE_FOREIGN = 1500.0
 
 
 def make_corpus(rng, nbytes: int) -> bytes:
@@ -70,11 +86,13 @@ def main():
     def step(blocks):
         w, t, off, bits = E.encode_batch_with_offsets(
             blocks, blens, live, np.int32(NBLOCKS - 1), LEVEL, 0)
-        return w, t, off, t + w[0].astype(jnp.int32)   # scalar sync handle
+        return w, t, off, bits, t + w[0].astype(jnp.int32)  # scalar sync
 
     # warmup/compile, then verify once (bulk transfer outside timing)
     _mark("compiling L2 encode")
-    words, total, offsets_dev, _ = step(blocks)
+    words, total, offsets_dev, bits_dev, _ = step(blocks)
+    _ = int(total)
+    _mark("L2 compile+first-run done")
     encoded = S.words_to_bytes(np.asarray(words), int(total))
     import zlib
     assert zlib.decompress(encoded, -15) == corpus, "round trip failed"
@@ -89,33 +107,26 @@ def main():
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        _, _, _, s = step(blocks)
+        _, _, _, _, s = step(blocks)
     _ = int(s)                                     # forces full execution
     dt = (time.perf_counter() - t0) / iters
 
     mbps = nbytes / dt / 1e6
     ratio = len(encoded) / nbytes
+    # L2 ratio on the SAME 1 MiB slice the L3 leg compresses, so the
+    # artifacts can show L3 < L2 like-for-like (VERDICT r3 #5)
+    bits_np = np.asarray(bits_dev, np.int64)
+    ratio_l2_slice = round(float(bits_np[:L3_BLOCKS].sum()) / 8
+                           / (L3_BLOCKS * BLOCK_SIZE), 4)
 
-    # secondary: native host inflate throughput on the same stream
-    from deflate_tpu import native as NAT
-
-    host_decode_mbps = None
-    if NAT.lib() is not None:
-        t0 = time.perf_counter()
-        out = NAT.inflate(encoded, nbytes)
-        ddt = time.perf_counter() - t0
-        assert out == corpus
-        host_decode_mbps = round(nbytes / ddt / 1e6, 1)
-
-    # secondary: DEVICE inflate via the wavefront VPU decoder
-    # (models/wave_decoder.py) with manifest v2 hints from the encoder.
-    # Timed device-only via a device-side scalar reduce (d2h of the
-    # 8 MiB payload would measure the dev tunnel, not the chip).
+    # ---- DEVICE decode: the wavefront VPU decoder (flagship) ----------
+    # Runs BEFORE the L3 leg (VERDICT r3 #1) so a slow L3 compile can
+    # never starve the decode datapoint again.
     device_decode_mbps = None
     device_decode_e2e_mbps = None
     device_decode_error = None
     try:
-        if time.perf_counter() - _T0 > 420:
+        if time.perf_counter() - _T0 > DEADLINE_DECODE:
             raise TimeoutError("bench budget: skipping device decode")
         from deflate_tpu.models import wave_decoder as WD
 
@@ -162,15 +173,17 @@ def main():
         e2edt = (time.perf_counter() - t0) / 2
         assert got == corpus and not derr.any()
         device_decode_e2e_mbps = round(nbytes / e2edt / 1e6, 1)
+        _mark(f"device decode {device_decode_mbps} MB/s "
+              f"(e2e {device_decode_e2e_mbps})")
     except Exception as e:
         device_decode_error = f"{type(e).__name__}: {e}"
         _mark(f"device decode skipped: {device_decode_error}")
-    # secondary: L3 ("best") encode throughput on a 1 MiB slice
+
+    # ---- L3 ("best") encode on the same 1 MiB slice -------------------
     encode_l3_mbps = ratio_l3 = None
     try:
-        if time.perf_counter() - _T0 > 450:
+        if time.perf_counter() - _T0 > DEADLINE_L3:
             raise TimeoutError("bench budget: skipping L3")
-        L3_BLOCKS = 32
         bl3 = jnp.asarray(buf[:L3_BLOCKS * BLOCK_SIZE]
                           .reshape(L3_BLOCKS, BLOCK_SIZE))
         bl3_lens = jnp.full((L3_BLOCKS,), BLOCK_SIZE, jnp.int32)
@@ -186,6 +199,7 @@ def main():
         w3, t3, _ = step3(bl3)
         enc3 = S.words_to_bytes(np.asarray(w3), int(t3))
         assert zlib.decompress(enc3, -15) == corpus[:L3_BLOCKS * BLOCK_SIZE]
+        _mark("timing L3 encode")
         t0 = time.perf_counter()
         for _ in range(3):
             _, _, s3 = step3(bl3)
@@ -193,8 +207,54 @@ def main():
         encode_l3_mbps = round(L3_BLOCKS * BLOCK_SIZE
                                / ((time.perf_counter() - t0) / 3) / 1e6, 2)
         ratio_l3 = round(len(enc3) / (L3_BLOCKS * BLOCK_SIZE), 4)
+        _mark(f"L3 {encode_l3_mbps} MB/s ratio {ratio_l3} "
+              f"(L2 same slice {ratio_l2_slice})")
     except Exception as e:
         _mark(f"L3 skipped: {e}")
+
+    # ---- host decode (native C++ inflate) on the same stream ----------
+    from deflate_tpu import native as NAT
+
+    host_decode_mbps = None
+    if NAT.lib() is not None:
+        t0 = time.perf_counter()
+        out = NAT.inflate(encoded, nbytes)
+        ddt = time.perf_counter() - t0
+        assert out == corpus
+        host_decode_mbps = round(nbytes / ddt / 1e6, 1)
+
+    # ---- foreign-stream decode (VERDICT r3 #6): a zlib-9 stream we did
+    # not produce, decoded by (a) the native host path and (b) the
+    # device path (skeleton walk + wavefront).  Measured honestly: the
+    # device path's skeleton walk is a full host symbol walk, so it is
+    # expected to lose on first touch — the artifact records by how much.
+    foreign_host_mbps = None
+    foreign_device_mbps = None
+    try:
+        if time.perf_counter() - _T0 > DEADLINE_FOREIGN:
+            raise TimeoutError("bench budget: skipping foreign leg")
+        import zlib as _z
+        import deflate_tpu as D
+
+        foreign = _z.compress(corpus, 9)[2:-4]
+        if NAT.lib() is not None:
+            t0 = time.perf_counter()
+            fout = NAT.inflate(foreign, nbytes)
+            fdt = time.perf_counter() - t0
+            assert fout == corpus
+            foreign_host_mbps = round(nbytes / fdt / 1e6, 1)
+        _mark("foreign device decode (skeleton + wave)")
+        out = D.decompress(foreign, nbytes, device=True)   # compile+warm
+        assert out == corpus
+        t0 = time.perf_counter()
+        out = D.decompress(foreign, nbytes, device=True)
+        fdt = time.perf_counter() - t0
+        assert out == corpus
+        foreign_device_mbps = round(nbytes / fdt / 1e6, 1)
+        _mark(f"foreign: host {foreign_host_mbps} MB/s, "
+              f"device {foreign_device_mbps} MB/s")
+    except Exception as e:
+        _mark(f"foreign leg skipped: {e}")
 
     scaling = None
     try:
@@ -212,6 +272,7 @@ def main():
             "input_bytes": nbytes,
             "compressed_bytes": len(encoded),
             "ratio": round(ratio, 4),
+            "ratio_L2_1MiB": ratio_l2_slice,
             "host_decode_mbps": host_decode_mbps,
             "device_decode_mbps": device_decode_mbps,
             "device_decode_e2e_mbps": device_decode_e2e_mbps,
@@ -223,6 +284,8 @@ def main():
                                   "byte-aligned window copies",
             "encode_L3_mbps": encode_l3_mbps,
             "ratio_L3_1MiB": ratio_l3,
+            "foreign_host_decode_mbps": foreign_host_mbps,
+            "foreign_device_decode_mbps": foreign_device_mbps,
             "scaling": scaling,
             "device": str(jax.devices()[0].platform),
             "note": "baseline = reference level-2 ~15 MB/s 1 CPU core "
