@@ -309,12 +309,13 @@ def choose_blocks(fixed_bits, dyn_bits, blens, live, level: int,
         off8 = off8 + bits
         tot8 = tot8 + bits
 
-    # pass 2: thread the offset through chunks (C scan steps)
+    # pass 2: thread the offset through chunks (C scan steps, unrolled —
+    # each sequential scan step costs ~4-20 us of dispatch on v5e)
     def cstep(o, t8):
         sel = jnp.sum(jnp.where(jnp.arange(8) == (o & 7), t8, 0))
         return o + sel, o
 
-    _, centry = jax.lax.scan(cstep, phase0, tot8)
+    _, centry = jax.lax.scan(cstep, phase0, tot8, unroll=8)
 
     # pass 3: per-block outputs at the actual entry offsets
     off = centry                                   # [C]

@@ -64,6 +64,12 @@ MAXSYM_BITS = 48         # 15 (litlen) + 5 (len extra) + 15 (dist) + 13
 NS = 33 * 1024           # symbol-domain slots per block (<=32768 emitters
                          # +1 EOB; 33x1024 keeps the routed axis divisible
                          # by 8*128 for the Pallas routing kernel layout)
+CCAP = 16                # symbol slots per 64-bit chunk after the within-
+                         # chunk compaction (stage B output).  A chunk can
+                         # only exceed CCAP starts when code lengths run
+                         # 1-3 bits (wildly skewed codes on literal runs);
+                         # wave_decode flags sum_cnt > CCAP as a per-block
+                         # error and callers fall back to slower decoders.
 ND = 32768               # output bytes per block
 NM = 11264               # match-record slots (>= 32768/3 + 1; 11*1024 for
                          # 1024-word-aligned DMA windows in wave_fill)
@@ -486,23 +492,28 @@ def _canon_decode(PK, g, lim_key, first_key, extra_keys):
     arrays whose length-l entry is selected where the code length
     resolves to l.  Returns (found, len_, r_rel, sels) with r_rel = rank
     within the length class.
+
+    Op-count note (stage A runs at the fused-VPU floor, ~300 el-ops per
+    bit position): the per-round `len` select is folded into the rank
+    subtraction — rsel = c - (first[l] - (l << 10)) packs len(4) above
+    rank(10) with ONE per-element subtract+select, the l<<10 adjustment
+    riding the broadcast scalar for free (rank <= 285 < 1024, so the
+    fields never carry into each other).
     """
     z = jnp.zeros(PK.shape, I32)
     c = z
     found = jnp.zeros(PK.shape, bool)
-    len_ = z
-    r_rel = z
+    rsel = z
     sels = [z for _ in extra_keys]
 
     for l in range(1, 16):
         c = (c << 1) | (_srl(PK, l - 1) & 1)
         hit = (~found) & (c < g(lim_key, l))
-        len_ = jnp.where(hit, l, len_)
-        r_rel = jnp.where(hit, c - g(first_key, l), r_rel)
+        rsel = jnp.where(hit, c - (g(first_key, l) - (l << 10)), rsel)
         for i, k in enumerate(extra_keys):
             sels[i] = jnp.where(hit, g(k, l), sels[i])
         found = found | hit
-    return found, len_, r_rel, sels
+    return found, _srl(rsel, 10), rsel & 1023, sels
 
 
 def decode_core(PK, PKH, g):
@@ -654,6 +665,39 @@ def _exclusive(a):
     return jnp.cumsum(a, axis=1) - a
 
 
+def chunk_compact(A0, P1, rank_rows, mk):
+    """Within-chunk symbol compaction: chunk w's rank-j marked position
+    lands at [b, j, w] of a [B, CCAP, W64] pair of arrays.
+
+    Six monotone log-shift rounds along the PHASE axis (displacement
+    t - rank <= 63; columns are independent chunks, and within a column
+    rank increments by exactly 1 per mark while t increments by >= 1,
+    so displacements are non-decreasing and destinations strictly
+    increasing — the route_monotone_left invariant per column).  Full
+    [B, 64, W64] arrays keep every VPU sublane busy; a per-rank
+    select-accumulate formulation measured 2x slower end-to-end (round
+    4) because its [1, TW] rows idle 7 of 8 sublanes."""
+    B, _, W64 = A0.shape
+    t_row = jnp.arange(64, dtype=I32)[None, :, None]
+    d = jnp.where(mk, t_row - rank_rows, -1)
+    a, p = A0, P1
+
+    for k in range(6):
+        s = 1 << k
+
+        def sh(x, fill):
+            pad = jnp.full((B, s, W64), fill, x.dtype)
+            return jnp.concatenate([x[:, s:], pad], axis=1)
+
+        ds = sh(d, -1)
+        inc = (ds >= 0) & (((ds >> k) & 1) > 0)
+        out = (d >= 0) & (((d >> k) & 1) > 0)
+        a = jnp.where(inc, sh(a, 0), a)
+        p = jnp.where(inc, sh(p, 0), p)
+        d = jnp.where(inc, ds - s, jnp.where(out, -1, d))
+    return a[:, :CCAP], p[:, :CCAP]
+
+
 def _unpack_marks(Mlo, Mhi, W64: int):
     rows = [(_srl(Mlo, t) & 1) if t < 32 else (_srl(Mhi, t - 32) & 1)
             for t in range(64)]
@@ -730,6 +774,8 @@ def wave_decode(nwords, hints, out_expect, md, W64: int,
             hit = pos == stop_bit.astype(I32)[:, None, None]
             A0 = jnp.where(hit, 1 | (2 << 15), A0)
         sums, rank_rows = chunk_automaton(A0, hints, W64)
+    mk0 = _unpack_marks(sums["Mlo"], sums["Mhi"], W64) > 0
+    A0c, P1c = chunk_compact(A0, P1, rank_rows, mk0)
     sstart = _exclusive(sums["sum_cnt"])
     produced = jnp.sum(sums["sum_emit"], axis=1)
     nsym = sstart[:, -1] + sums["sum_cnt"][:, -1]
@@ -751,19 +797,26 @@ def wave_decode(nwords, hints, out_expect, md, W64: int,
     err = err | (produced != out_expect).astype(I32)
     err = err | (nsym > NS).astype(I32)
     err = err | (nmatch > NM).astype(I32)
+    err = err | jnp.any(sums["sum_cnt"] > CCAP, axis=1).astype(I32)
 
-    # ---- stage D: route marked positions to dense symbol slots -------
-    mk = _unpack_marks(sums["Mlo"], sums["Mhi"], W64) > 0
+    # ---- stage D: route chunk-compact symbol groups to dense slots ---
+    # After the within-chunk compaction (A0c/P1c [B, CCAP, W64]), chunk
+    # w's cnt[w] symbols sit at lanes w*CCAP..w*CCAP+cnt-1 of the
+    # flattened (w-major) view; the whole group moves LEFT by the same
+    # displacement w*CCAP - sstart[w], which is non-negative and
+    # non-decreasing while cnt <= CCAP (err'd above otherwise), so the
+    # monotone route runs at W64*CCAP lanes — 4x fewer than the bit
+    # domain 64*W64 it replaced.
+    L = W64 * CCAP
 
-    def flat(a):
-        return a.transpose(0, 2, 1).reshape(B, S)
+    def flatc(a):
+        return a.transpose(0, 2, 1).reshape(B, L)
 
-    i_pos = jnp.broadcast_to(
-        (jnp.arange(W64, dtype=I32) * 64)[None, :, None]
-        + jnp.arange(64, dtype=I32)[None, None, :], (B, W64, 64)
-    ).reshape(B, S)
-    symidx = flat(rank_rows) + jnp.repeat(sstart, 64, axis=1)
-    delta = jnp.where(flat(mk), i_pos - symidx, -1)
+    cnt_rep = jnp.repeat(sums["sum_cnt"], CCAP, axis=1)        # [B, L]
+    dval = (jnp.arange(W64, dtype=I32) * CCAP)[None, :] - sstart
+    delta = jnp.repeat(dval, CCAP, axis=1)
+    j_lane = jnp.tile(jnp.arange(CCAP, dtype=I32), W64)[None, :]
+    delta = jnp.where(j_lane < cnt_rep, delta, -1)
     from deflate_tpu.ops.wave_route import route_pallas as _rp
     if bool(int(os.environ.get("DT_ROUTE_PALLAS", "1"))):
         route_pallas = _rp
@@ -772,12 +825,12 @@ def wave_decode(nwords, hints, out_expect, md, W64: int,
             f = route_monotone_left if left else route_monotone_right
             return f(p, d, r)
 
-    rounds = int(S - 1).bit_length()
+    rounds = int(L - 1).bit_length()
     (P0, P1f), dout = route_pallas(
-        [flat(A0), flat(P1)], delta, rounds, left=True,
+        [flatc(A0c), flatc(P1c)], delta, rounds, left=True,
         interpret=interpret)
-    if S < NS:
-        pad = NS - S
+    if L < NS:
+        pad = NS - L
         P0 = jnp.pad(P0, ((0, 0), (0, pad)))
         P1f = jnp.pad(P1f, ((0, 0), (0, pad)))
         dout = jnp.pad(dout, ((0, 0), (0, pad)), constant_values=-1)

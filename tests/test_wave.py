@@ -430,6 +430,19 @@ def test_stageab_fused_equivalence():
         for k in SUM_KEYS:
             assert (np.asarray(sums_x[k]) == np.asarray(sums_p[k])).all(), k
 
+        # chunk_compact invariant: rank-j symbol of chunk w at [b, j, w]
+        mk_x = W._unpack_marks(sums_x["Mlo"], sums_x["Mhi"], W64) > 0
+        A0c, P1c = W.chunk_compact(A0x, P1x, rk_x, mk_x)
+        A0n, rkn, mkn = (np.asarray(A0x), np.asarray(rk_x),
+                         np.asarray(mk_x))
+        A0cn = np.asarray(A0c)
+        Bn = A0n.shape[0]
+        for b in range(0, Bn, max(1, Bn // 4)):
+            for w in range(0, W64, max(1, W64 // 7)):
+                ts = np.nonzero(mkn[b, :, w])[0]
+                for j, t in enumerate(ts[:W.CCAP]):
+                    assert A0cn[b, j, w] == A0n[b, t, w], (b, w, j)
+
 
 def test_fill_matches_adversarial_overlaps():
     """Direct stage-G kernel test: every distance class (dist 1,2,3 ->
