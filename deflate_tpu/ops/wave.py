@@ -755,10 +755,11 @@ def wave_decode(nwords, hints, out_expect, md, W64: int,
     """
     B, S = nwords.shape[0], 64 * W64
     if bool(int(os.environ.get("DT_STAGEAB_PALLAS", "1"))):
-        # fused stage A+B kernel: per-position decode, stop override,
-        # and the chunk automaton without leaving VMEM
+        # fused stage A+B+compaction kernel: per-position decode, stop
+        # override, chunk automaton, and within-chunk compaction
+        # without leaving VMEM
         from deflate_tpu.ops.wave_stagea import decode_mark_pallas
-        A0, P1, rank_rows, sums = decode_mark_pallas(
+        A0c, P1c, sums = decode_mark_pallas(
             nwords, hints, md, W64, stop_bit, interpret=interpret)
     else:
         if bool(int(os.environ.get("DT_STAGEA_PALLAS", "1"))):
@@ -774,8 +775,8 @@ def wave_decode(nwords, hints, out_expect, md, W64: int,
             hit = pos == stop_bit.astype(I32)[:, None, None]
             A0 = jnp.where(hit, 1 | (2 << 15), A0)
         sums, rank_rows = chunk_automaton(A0, hints, W64)
-    mk0 = _unpack_marks(sums["Mlo"], sums["Mhi"], W64) > 0
-    A0c, P1c = chunk_compact(A0, P1, rank_rows, mk0)
+        mk0 = _unpack_marks(sums["Mlo"], sums["Mhi"], W64) > 0
+        A0c, P1c = chunk_compact(A0, P1, rank_rows, mk0)
     sstart = _exclusive(sums["sum_cnt"])
     produced = jnp.sum(sums["sum_emit"], axis=1)
     nsym = sstart[:, -1] + sums["sum_cnt"][:, -1]

@@ -71,12 +71,21 @@ SUM_KEYS = ("Mlo", "Mhi", "Clo", "Chi", "sum_emit", "sum_cnt",
 
 
 def _kernel_ab(we_ref, wo_ref, w2_ref, w3_ref, h_ref, md_ref,
-               a0_ref, p1_ref, rk_ref, sm_ref, *, TW: int):
-    """Fused stages A+B: per-bit-position decode AND the 64-step chunk
-    mark automaton, per (block, column-tile) — A0/P1 never leave VMEM
-    between the two stages.  Chunks are hint-seeded and therefore
-    independent, so the automaton tiles on the same grid as stage A
-    (wave.chunk_automaton is the XLA reference; differential-tested).
+               a0_ref, p1_ref, sm_ref, *, TW: int):
+    """Fused stages A+B+chunk-compaction: per-bit-position decode, the
+    64-step chunk mark automaton, AND the within-chunk symbol
+    compaction (wave.chunk_compact's 6 monotone roll rounds, here as
+    full-tile pltpu.rolls along the phase axis) — A0/P1 never leave
+    VMEM between the stages, and HBM receives only the COMPACTED
+    [CCAP, W64] symbol rows instead of three full [64, W64] arrays
+    (6x less output traffic; the downstream bit->symbol route then runs
+    at W64*CCAP lanes).  Chunks are hint-seeded and therefore
+    independent, so everything tiles on the same (block, column-tile)
+    grid (wave.chunk_automaton + wave.chunk_compact are the XLA
+    reference; differential-tested).  A chunk with more than CCAP
+    symbol starts (needs ~1-3-bit code lengths) loses the overflow
+    ranks to the [:CCAP] slice; wave_decode flags sum_cnt > CCAP as a
+    per-block error and callers fall back.
     """
     srl = jax.lax.shift_right_logical
     i32 = jnp.int32
@@ -133,19 +142,41 @@ def _kernel_ab(we_ref, wo_ref, w2_ref, w3_ref, h_ref, md_ref,
         sb = sb + bit * (cls_t == 2).astype(i32)
         si = si + bit * (cls_t == 3).astype(i32)
 
-    a0_ref[0] = A0
-    p1_ref[0] = P1
-    rk_ref[0] = jnp.concatenate(rank_rows, axis=0)
     sm_ref[0] = jnp.concatenate(
         [Mlo, Mhi, Clo, Chi, se, sc, sm, sb, si], axis=0)
+
+    # ---- within-chunk compaction: 6 monotone roll rounds along the
+    # phase axis (wave.chunk_compact semantics) on full [64, TW] tiles —
+    # a per-rank select-accumulate here measured 2x slower (r4): its
+    # [1, TW] rows idle 7 of 8 sublanes.
+    rank = jnp.concatenate(rank_rows, axis=0)          # [64, TW]
+    mrow = jnp.where(row < 32, srl(jnp.broadcast_to(Mlo, (64, TW)),
+                                   jnp.minimum(row, 31)),
+                     srl(jnp.broadcast_to(Mhi, (64, TW)),
+                         jnp.clip(row - 32, 0, 31))) & 1
+    d = jnp.where(mrow > 0, row - rank, -1)
+    a_c, p_c = A0, P1
+    for k in range(6):
+        s = 1 << k
+        edge = row >= 64 - s
+        ds = jnp.where(edge, -1, pltpu.roll(d, 64 - s, axis=0))
+        inc = (ds >= 0) & (((ds >> k) & 1) > 0)
+        out = (d >= 0) & (((d >> k) & 1) > 0)
+        a_c = jnp.where(inc, pltpu.roll(a_c, 64 - s, axis=0), a_c)
+        p_c = jnp.where(inc, pltpu.roll(p_c, 64 - s, axis=0), p_c)
+        d = jnp.where(inc, ds - s, jnp.where(out, -1, d))
+    a0_ref[0] = a_c[:W.CCAP]
+    p1_ref[0] = p_c[:W.CCAP]
 
 
 @functools.partial(jax.jit, static_argnames=("W64", "interpret"))
 def decode_mark_pallas(nwords, hints, md, W64: int, stop_bit=None,
                        interpret: bool = False):
-    """Fused stage A+B: returns (A0, P1, rank_rows each [B, 64, W64],
-    sums dict of [B, W64]) — drop-in for decode_positions +
-    chunk_automaton (with the stop_bit override applied in between)."""
+    """Fused stage A+B+compaction: returns (A0c, P1c each
+    [B, CCAP, W64] — chunk w's rank-j symbol record at [b, j, w] — and
+    sums dict of [B, W64]).  Drop-in for decode_positions +
+    chunk_automaton + chunk_compact (with the stop_bit override applied
+    in between)."""
     B = nwords.shape[0]
     TW = next(t for t in (512, 256, 128) if W64 % t == 0)
     we = nwords[:, 0:2 * W64:2][:, None, :]
@@ -166,21 +197,21 @@ def decode_mark_pallas(nwords, hints, md, W64: int, stop_bit=None,
                       memory_space=pltpu.VMEM)
     ms = pl.BlockSpec((1, len(MD_KEYS) + 1, 16), lambda b, j: (b, 0, 0),
                       memory_space=pltpu.SMEM)
-    os_ = pl.BlockSpec((1, 64, TW), lambda b, j: (b, 0, j),
+    os_ = pl.BlockSpec((1, W.CCAP, TW), lambda b, j: (b, 0, j),
                        memory_space=pltpu.VMEM)
     sms = pl.BlockSpec((1, len(SUM_KEYS), TW), lambda b, j: (b, 0, j),
                        memory_space=pltpu.VMEM)
-    A0, P1, rk, sm = pl.pallas_call(
+    A0c, P1c, sm = pl.pallas_call(
         functools.partial(_kernel_ab, TW=TW),
         grid=(B, W64 // TW),
         in_specs=[ws, ws, ws, ws, ws, ms],
-        out_specs=[os_, os_, os_, sms],
-        out_shape=[jax.ShapeDtypeStruct((B, 64, W64), jnp.int32)] * 3
+        out_specs=[os_, os_, sms],
+        out_shape=[jax.ShapeDtypeStruct((B, W.CCAP, W64), jnp.int32)] * 2
         + [jax.ShapeDtypeStruct((B, len(SUM_KEYS), W64), jnp.int32)],
         interpret=interpret,
     )(we, wo, w2, w3, hr, mds)
     sums = {k: sm[:, i] for i, k in enumerate(SUM_KEYS)}
-    return A0, P1, rk, sums
+    return A0c, P1c, sums
 
 
 @functools.partial(jax.jit, static_argnames=("W64", "interpret"))

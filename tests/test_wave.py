@@ -422,20 +422,19 @@ def test_stageab_fused_equivalence():
             A0x = jnp.where(pos == stop[:, None, None], 1 | (2 << 15),
                             A0x)
         sums_x, rk_x = W.chunk_automaton(A0x, hsj, W64)
-        A0p, P1p, rk_p, sums_p = decode_mark_pallas(
+        mk_x = W._unpack_marks(sums_x["Mlo"], sums_x["Mhi"], W64) > 0
+        A0cx, P1cx = W.chunk_compact(A0x, P1x, rk_x, mk_x)
+        A0cp, P1cp, sums_p = decode_mark_pallas(
             nwords, hsj, mdj, W64, stop, interpret=True)
-        assert (np.asarray(A0x) == np.asarray(A0p)).all()
-        assert (np.asarray(P1x) == np.asarray(P1p)).all()
-        assert (np.asarray(rk_x) == np.asarray(rk_p)).all()
+        assert (np.asarray(A0cx) == np.asarray(A0cp)).all()
+        assert (np.asarray(P1cx) == np.asarray(P1cp)).all()
         for k in SUM_KEYS:
             assert (np.asarray(sums_x[k]) == np.asarray(sums_p[k])).all(), k
 
-        # chunk_compact invariant: rank-j symbol of chunk w at [b, j, w]
-        mk_x = W._unpack_marks(sums_x["Mlo"], sums_x["Mhi"], W64) > 0
-        A0c, P1c = W.chunk_compact(A0x, P1x, rk_x, mk_x)
-        A0n, rkn, mkn = (np.asarray(A0x), np.asarray(rk_x),
-                         np.asarray(mk_x))
-        A0cn = np.asarray(A0c)
+        # chunk_compact invariant vs marks: rank-j symbol of chunk w
+        # lands at [b, j, w]
+        A0n, mkn = np.asarray(A0x), np.asarray(mk_x)
+        A0cn = np.asarray(A0cx)
         Bn = A0n.shape[0]
         for b in range(0, Bn, max(1, Bn // 4)):
             for w in range(0, W64, max(1, W64 // 7)):
