@@ -112,36 +112,47 @@ def _kernel_ab(we_ref, wo_ref, w2_ref, w3_ref, h_ref, md_ref,
     A0 = jnp.where(pos == md_ref[0, len(MD_KEYS), 0], 1 | (2 << 15), A0)
 
     # ---- chunk automaton (wave.chunk_automaton, [TW]-lane form) ------
+    # The 64-step mark chain is inherently sequential, but only the
+    # mark/carry propagation must run per step ([1, TW] rows idle 7 of
+    # 8 sublanes): the per-row field extraction is hoisted to full-tile
+    # ops before the loop, and every accumulation (sums, ranks) becomes
+    # a full-tile reduction over the mark matrix after it.
+    ADV = A0 & 63                                  # [64, TW] full-tile
+    EMIT = srl(A0, 6) & 511
+    CLS = srl(A0, 15) & 3
+    NOSTOP = (CLS < 2).astype(i32)
+    NT = row + ADV
+    B0 = (NT < 32).astype(i32)
+    B1 = ((NT >= 32) & (NT < 64)).astype(i32)
+    B2 = ((NT >= 64) & (NT < 96)).astype(i32)
+    B3 = (NT >= 96).astype(i32)
+    S0 = jnp.clip(NT, 0, 31)
+    S1 = jnp.clip(NT - 32, 0, 31)
+    S2 = jnp.clip(NT - 64, 0, 31)
+    S3 = jnp.clip(NT - 96, 0, 31)
+
     h = h_ref[0]                                   # [1, TW]
     z = jnp.zeros((1, TW), i32)
     Mlo = jnp.where(h < 32, 1 << jnp.clip(h, 0, 31), 0)
     Mhi = jnp.where((h >= 32) & (h < 64), 1 << jnp.clip(h - 32, 0, 31), 0)
-    Clo = Chi = se = sc = sm = sb = si = z
-    rank_rows = []
+    Clo = Chi = z
+    mark_rows = []
     for t in range(64):
-        a = A0[t:t + 1, :]
         bit = (srl(Mlo, t) if t < 32 else srl(Mhi, t - 32)) & 1
-        adv_t = a & 63
-        emit_t = srl(a, 6) & 511
-        cls_t = srl(a, 15) & 3
-        stop_t = cls_t >= 2
-        rank_rows.append(sc)
-        live = bit & (1 - stop_t.astype(i32))
-        nt = t + adv_t
+        mark_rows.append(bit)
+        live = bit * NOSTOP[t:t + 1]
         if t < 31:
-            Mlo = Mlo | jnp.where(nt < 32, live << jnp.clip(nt, 0, 31), 0)
-        Mhi = Mhi | jnp.where((nt >= 32) & (nt < 64),
-                              live << jnp.clip(nt - 32, 0, 31), 0)
-        Clo = Clo | jnp.where((nt >= 64) & (nt < 96),
-                              live << jnp.clip(nt - 64, 0, 31), 0)
-        Chi = Chi | jnp.where(nt >= 96,
-                              live << jnp.clip(nt - 96, 0, 31), 0)
-        se = se + bit * emit_t
-        sc = sc + bit
-        sm = sm + bit * (cls_t == 1).astype(i32)
-        sb = sb + bit * (cls_t == 2).astype(i32)
-        si = si + bit * (cls_t == 3).astype(i32)
+            Mlo = Mlo | (B0[t:t + 1] * (live << S0[t:t + 1]))
+        Mhi = Mhi | (B1[t:t + 1] * (live << S1[t:t + 1]))
+        Clo = Clo | (B2[t:t + 1] * (live << S2[t:t + 1]))
+        Chi = Chi | (B3[t:t + 1] * (live << S3[t:t + 1]))
 
+    MK = jnp.concatenate(mark_rows, axis=0)        # [64, TW] marks
+    se = jnp.sum(MK * EMIT, axis=0, keepdims=True)
+    sc = jnp.sum(MK, axis=0, keepdims=True)
+    sm = jnp.sum(MK * (CLS == 1), axis=0, keepdims=True)
+    sb = jnp.sum(MK * (CLS == 2), axis=0, keepdims=True)
+    si = jnp.sum(MK * (CLS == 3), axis=0, keepdims=True)
     sm_ref[0] = jnp.concatenate(
         [Mlo, Mhi, Clo, Chi, se, sc, sm, sb, si], axis=0)
 
@@ -149,12 +160,15 @@ def _kernel_ab(we_ref, wo_ref, w2_ref, w3_ref, h_ref, md_ref,
     # phase axis (wave.chunk_compact semantics) on full [64, TW] tiles —
     # a per-rank select-accumulate here measured 2x slower (r4): its
     # [1, TW] rows idle 7 of 8 sublanes.
-    rank = jnp.concatenate(rank_rows, axis=0)          # [64, TW]
-    mrow = jnp.where(row < 32, srl(jnp.broadcast_to(Mlo, (64, TW)),
-                                   jnp.minimum(row, 31)),
-                     srl(jnp.broadcast_to(Mhi, (64, TW)),
-                         jnp.clip(row - 32, 0, 31))) & 1
-    d = jnp.where(mrow > 0, row - rank, -1)
+    # (rank = exclusive cumsum of MK down the phase axis, via 6
+    # log-shift rounds — Mosaic has no cumsum primitive, caught by the
+    # real-TPU bench leg, the round-2 lesson again)
+    acc = MK
+    for k in range(6):
+        s = 1 << k
+        acc = acc + jnp.where(row >= s, pltpu.roll(acc, s, axis=0), 0)
+    rank = acc - MK                                # [64, TW] full-tile
+    d = jnp.where(MK > 0, row - rank, -1)
     a_c, p_c = A0, P1
     for k in range(6):
         s = 1 << k
