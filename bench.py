@@ -222,11 +222,16 @@ def main():
 
     host_decode_mbps = None
     if NAT.lib() is not None:
-        t0 = time.perf_counter()
-        out = NAT.inflate(encoded, nbytes)
-        ddt = time.perf_counter() - t0
+        out = NAT.inflate(encoded, nbytes)          # warm (page-in)
         assert out == corpus
-        host_decode_mbps = round(nbytes / ddt / 1e6, 1)
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = NAT.inflate(encoded, nbytes)
+            ddt = time.perf_counter() - t0
+            best = ddt if best is None else min(best, ddt)
+        assert out == corpus
+        host_decode_mbps = round(nbytes / best / 1e6, 1)
 
     # ---- foreign-stream decode (VERDICT r3 #6): a zlib-9 stream we did
     # not produce, decoded by (a) the native host path and (b) the
@@ -243,11 +248,15 @@ def main():
 
         foreign = _z.compress(corpus, 9)[2:-4]
         if NAT.lib() is not None:
-            t0 = time.perf_counter()
-            fout = NAT.inflate(foreign, nbytes)
-            fdt = time.perf_counter() - t0
+            fout = NAT.inflate(foreign, nbytes)     # warm
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fout = NAT.inflate(foreign, nbytes)
+                fdt = time.perf_counter() - t0
+                best = fdt if best is None else min(best, fdt)
             assert fout == corpus
-            foreign_host_mbps = round(nbytes / fdt / 1e6, 1)
+            foreign_host_mbps = round(nbytes / best / 1e6, 1)
         _mark("foreign device decode (skeleton + wave)")
         out = D.decompress(foreign, nbytes, device=True)   # compile+warm
         assert out == corpus

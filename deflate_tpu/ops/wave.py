@@ -732,6 +732,64 @@ def resolve_litval(len_, r_rel, litmask):
     return (wq << 5) + select_bit32(word, jrel)
 
 
+def merge_match_runs(rec0, rec1, interpret, route_pallas):
+    """Fuse adjacent same-distance match records into run records.
+
+    A greedy parse of periodic or repetitive content emits long CHAINS
+    of matches at one distance, back to back in output space (the
+    509-byte-pattern corpus: ~127 len-258 records per block, all at
+    dist 509).  Filling each record costs the scalar core its full
+    per-record overhead, so chains are collapsed at the symbol domain
+    first: eight halving rounds merge record pairs where the right
+    record starts exactly where the left ends and distances agree
+    (byte-sequential fill semantics are preserved — a single run at
+    the same distance writes the identical bytes).  The len3 field of
+    rec0 grows from 9 to up to 16 bits (opos(16) | len3(16) still fits
+    int32; ops/wave_fill.py reads 16 bits).  Merged-away records
+    become holes; one monotone route re-compacts.  Rounds cost ~10
+    elementwise ops on [B, NM] — microseconds against the multi-ms
+    scalar fill they remove.
+
+    Returns (rec0, rec1, nmatch) with nmatch the post-merge count.
+    """
+    B = rec0.shape[0]
+    live = (rec0 >= 0).astype(I32)
+    span = live                                   # records absorbed
+    L0, D = rec0, rec1
+    for lvl in range(8):
+        w = 1 << lvl
+        l0 = L0.reshape(B, -1, 2 * w)
+        dd = D.reshape(B, -1, 2 * w)
+        sp = span.reshape(B, -1, 2 * w)
+        lef0, rig0 = l0[:, :, 0], l0[:, :, w]
+        can = ((sp[:, :, 0] == w) & (sp[:, :, w] > 0)
+               & (dd[:, :, 0] == dd[:, :, w]) & (dd[:, :, 0] > 0)
+               & ((rig0 & 0xFFFF)
+                  == (lef0 & 0xFFFF) + _srl(lef0, 16) + 3))
+        mlen3 = _srl(lef0, 16) + _srl(rig0, 16) + 3
+        l0 = l0.at[:, :, 0].set(jnp.where(
+            can, (lef0 & 0xFFFF) | (mlen3 << 16), lef0))
+        l0 = l0.at[:, :, w].set(jnp.where(can, -1, rig0))
+        dd = dd.at[:, :, w].set(jnp.where(can, 0, dd[:, :, w]))
+        sp = sp.at[:, :, 0].set(jnp.where(can, sp[:, :, 0] + sp[:, :, w],
+                                          sp[:, :, 0]))
+        sp = sp.at[:, :, w].set(jnp.where(can, 0, sp[:, :, w]))
+        L0 = l0.reshape(B, -1)
+        D = dd.reshape(B, -1)
+        span = sp.reshape(B, -1)
+    lv = (L0 >= 0).astype(I32)
+    rank = jnp.cumsum(lv, axis=1) - lv
+    lane = jnp.broadcast_to(jnp.arange(L0.shape[1], dtype=I32)[None],
+                            L0.shape)
+    dmv = jnp.where(lv > 0, lane - rank, -1)
+    (L0, D), dmo = route_pallas([L0, D], dmv,
+                                int(L0.shape[1] - 1).bit_length(),
+                                left=True, interpret=interpret)
+    L0 = jnp.where(dmo == 0, L0, -1)
+    D = jnp.where(dmo == 0, D, 0)
+    return L0, D, jnp.sum(lv, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("W64", "interpret"))
 def wave_decode(nwords, hints, out_expect, md, W64: int,
                 interpret: bool = False, stop_bit=None):
@@ -858,6 +916,8 @@ def wave_decode(nwords, hints, out_expect, md, W64: int,
         left=True, interpret=interpret)
     rec0 = jnp.where(d4o[:, :NM] == 0, rec0[:, :NM], -1)
     rec1 = jnp.where(d4o[:, :NM] == 0, rec1[:, :NM], 0)
+    rec0, rec1, nmatch = merge_match_runs(rec0, rec1, interpret,
+                                          route_pallas)
 
     # ---- stage F: place literal bytes at output offsets --------------
     d2 = jnp.where(is_lit_s, opos - j_sym, -1)

@@ -226,7 +226,9 @@ def _fill_block(mem, sb: "jax.Array", recs, rb, nm, p0,
             r0 = recs[rb + 2 * mi]
             r1 = recs[rb + 2 * mi + 1]
             p = (r0 & 0xFFFF) + p0
-            rem = (_srl(r0, 16) & 255) + 3
+            # len3 is 16 bits: wave.merge_match_runs fuses same-distance
+            # chains into run records up to the whole block
+            rem = (_srl(r0, 16) & 0xFFFF) + 3
             dist = r1
             tiny = (rem <= 4) & (dist >= 4)
             short = (rem <= 8) & (dist >= 8)

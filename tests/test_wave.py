@@ -212,7 +212,7 @@ def _fill_matches_host(litwords, rec0, rec1, nmatch):
     for b in range(B):
         for m in range(int(nmatch[b])):
             r0, d = int(rec0[b, m]), int(rec1[b, m])
-            o, ln = r0 & 0xFFFF, ((r0 >> 16) & 255) + 3
+            o, ln = r0 & 0xFFFF, ((r0 >> 16) & 0xFFFF) + 3
             for j in range(ln):
                 out[b, o + j] = out[b, o - d + j]
     return out
