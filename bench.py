@@ -152,8 +152,10 @@ def main():
         prep, calls = WD.prepare_bucketed(encoded, offs, sizes, hints)
 
         def dstep():
-            return [WD.wave_decode_packed(buf, W64, n, npad, off=off)
-                    for _, (buf, off), W64, n, npad in calls]
+            return [WD.wave_decode_packed(buf, W64, n, npad, off=off,
+                                          maxl=ml, maxd=mdx)
+                    for _, (buf, off), W64, n, npad, (ml, mdx)
+                    in calls]
 
         def syncv(outs):
             return int(jnp.sum(outs[-1][:, 0]) + jnp.sum(outs[-1][:, -1]))
@@ -295,7 +297,12 @@ def main():
                                   "per-chunk hints (encoder-emitted); "
                                   "output verified == corpus; stored "
                                   "blocks (random quarter) decode as "
-                                  "byte-aligned window copies",
+                                  "byte-aligned window copies; e2e "
+                                  "includes host prep + transfers over "
+                                  "the dev-tunnel (h2d ~170 MB/s, d2h "
+                                  "slower, ~26 ms RTT) and is transfer-"
+                                  "bound in this environment, not "
+                                  "chip-bound",
             "encode_L3_mbps": encode_l3_mbps,
             "ratio_L3_1MiB": ratio_l3,
             "foreign_host_decode_mbps": foreign_host_mbps,

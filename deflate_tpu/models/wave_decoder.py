@@ -23,21 +23,24 @@ import functools
 import jax
 
 
-@functools.partial(jax.jit, static_argnames=("W64", "npad", "interpret"))
+@functools.partial(jax.jit, static_argnames=("W64", "npad", "interpret",
+                                             "maxl", "maxd"))
 def wave_decode_filled(nw, hints, sizes, mdj, W64: int, npad: int,
-                       interpret: bool = False):
+                       interpret: bool = False, maxl: int = 15,
+                       maxd: int = 15):
     """wave_decode + match fill in ONE jitted program — eager glue ops
     cost ~30 ms each on the axon tunnel (CLAUDE.md), so everything
     between the two kernels stays inside the jit."""
     return _decode_filled_core(nw, hints, sizes, mdj, W64, npad,
-                               interpret)
+                               interpret, maxl, maxd)
 
 
 def _decode_filled_core(nw, hints, sizes, mdj, W64: int, npad: int,
-                        interpret: bool = False):
+                        interpret: bool = False, maxl: int = 15,
+                        maxd: int = 15):
     n = nw.shape[0]
     litwords, rec0, rec1, nmatch, prod, e = W.wave_decode(
-        nw, hints, sizes, mdj, W64, interpret)
+        nw, hints, sizes, mdj, W64, interpret, maxl=maxl, maxd=maxd)
     recs = jnp.stack([rec0, rec1], axis=2).reshape(n, 2 * W.NM)
     if npad != n:
         litwords = jnp.pad(litwords, ((0, npad - n), (0, 0)))
@@ -97,21 +100,25 @@ def _unpack_bucket(packed, W64: int, n: int):
 
 
 @functools.partial(jax.jit, static_argnames=("off", "W64", "n", "npad",
-                                             "interpret"))
+                                             "interpret", "maxl",
+                                             "maxd"))
 def wave_decode_packed(packed, W64: int, n: int, npad: int,
-                       interpret: bool = False, off: int = 0):
+                       interpret: bool = False, off: int = 0,
+                       maxl: int = 15, maxd: int = 15):
     """wave_decode_filled over a packed single-transfer operand buffer.
 
     packed may be the shared all-buckets buffer; off is this bucket's
-    static word offset within it.  Returns ONE [n, OW+2] int32 array
-    (filled words | produced | err) so the caller needs a single d2h
-    per bucket."""
+    static word offset within it.  maxl/maxd: the bucket's exact max
+    litlen/dist code lengths (host-computed from the parsed headers) —
+    stage A skips compare rounds past them.  Returns ONE [n, OW+2]
+    int32 array (filled words | produced | err) so the caller needs a
+    single d2h per bucket."""
     if off:
         packed = jax.lax.slice_in_dim(packed, off,
                                       off + _bucket_words(W64, n))
     nw, hints, sizes, mdj = _unpack_bucket(packed, W64, n)
     filled, prod, e = _decode_filled_core(nw, hints, sizes, mdj, W64,
-                                          npad, interpret)
+                                          npad, interpret, maxl, maxd)
     return jnp.concatenate(
         [filled, prod[:, None].astype(jnp.int32),
          e[:, None].astype(jnp.int32)], axis=1)
@@ -122,9 +129,10 @@ def prepare_bucketed(stream: bytes, bit_offsets, out_sizes, hints=None):
     stored/huffman split, span bucketing, window extraction.
 
     Returns (prep dict, calls) where each call is (sel, (buf, off),
-    W64, n, npad) ready for wave_decode_packed — buf is the shared
-    single-h2d operand buffer (already on device) and off the bucket's
-    static word offset within it."""
+    W64, n, npad, (maxl, maxd)) ready for wave_decode_packed — buf is
+    the shared single-h2d operand buffer (already on device), off the
+    bucket's static word offset within it, and maxl/maxd the bucket's
+    max litlen/dist code lengths."""
     bit_offsets = np.asarray(bit_offsets, np.int64)
     out_sizes = np.asarray(out_sizes, np.int64)
     B = len(bit_offsets)
@@ -151,6 +159,11 @@ def prepare_bucketed(stream: bytes, bit_offsets, out_sizes, hints=None):
     err[hidx_all[overflow]] = 1
     hidx_all = hidx_all[~overflow]
     need = -(-span[hidx_all] // 64)
+    lens16 = np.arange(16)[None, :]
+    cnt_l = (md["l_lim"].astype(np.int64)
+             - md["l_first"].astype(np.int64))
+    cnt_d = (md["d_lim"].astype(np.int64)
+             - md["d_first"].astype(np.int64))
     calls = []
     bufs = []
     for W64 in BUCKETS:
@@ -165,8 +178,15 @@ def prepare_bucketed(stream: bytes, bit_offsets, out_sizes, hints=None):
         hsel[:, :hav] = hints[sel][:, :hav]
         n = len(sel)
         npad = -(-n // WF.K) * WF.K            # fill kernel cell multiple
+        # exact per-bucket max code lengths: stage A skips compare
+        # rounds past them (a code longer than the table's max can
+        # never satisfy c < lim, so the skipped rounds are dead)
+        maxl = int(min(15, max(1, np.max(
+            np.where(cnt_l[sel] > 0, lens16, 0)))))
+        maxd = int(min(15, max(1, np.max(
+            np.where(cnt_d[sel] > 0, lens16, 0)))))
         packed = _pack_bucket(nw, hsel, out_sizes[sel], md, sel)
-        calls.append([sel, None, W64, n, npad])
+        calls.append([sel, None, W64, n, npad, (maxl, maxd)])
         bufs.append(packed)
     if calls:
         # ONE h2d for every bucket: the shared buffer is sliced back
@@ -205,12 +225,13 @@ def inflate_wave_device(stream: bytes, bit_offsets, out_sizes,
     # dispatch every bucket first (the programs queue on device), then
     # concatenate on device and pull ONCE (each d2h costs a tunnel
     # round-trip on top of the ~80 MB/s transfer)
-    outs = [wave_decode_packed(buf, W64, n, npad, interpret, off=off)
-            for _, (buf, off), W64, n, npad in calls]
+    outs = [wave_decode_packed(buf, W64, n, npad, interpret, off=off,
+                               maxl=ml, maxd=mdx)
+            for _, (buf, off), W64, n, npad, (ml, mdx) in calls]
     if outs:
         big = np.asarray(outs[0] if len(outs) == 1 else _cat(outs))
         row = 0
-        for sel, _, _, n, _ in calls:
+        for sel, _, _, n, _, _ in calls:
             o = big[row:row + n]
             row += n
             words[sel] = o[:, :WF.OW]

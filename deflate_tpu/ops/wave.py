@@ -482,7 +482,7 @@ def build_peeks(nwords, W64: int):
     return (jnp.stack(pk_rows, axis=1), jnp.stack(pkh_rows, axis=1))
 
 
-def _canon_decode(PK, g, lim_key, first_key, extra_keys):
+def _canon_decode(PK, g, lim_key, first_key, extra_keys, maxl=15):
     """Compare-based canonical decode at every position.
 
     PK: peek windows (code bits MSB-of-code-first per RFC 1951 §3.1.1).
@@ -506,7 +506,7 @@ def _canon_decode(PK, g, lim_key, first_key, extra_keys):
     rsel = z
     sels = [z for _ in extra_keys]
 
-    for l in range(1, 16):
+    for l in range(1, maxl + 1):
         c = (c << 1) | (_srl(PK, l - 1) & 1)
         hit = (~found) & (c < g(lim_key, l))
         rsel = jnp.where(hit, c - (g(first_key, l) - (l << 10)), rsel)
@@ -516,10 +516,18 @@ def _canon_decode(PK, g, lim_key, first_key, extra_keys):
     return found, _srl(rsel, 10), rsel & 1023, sels
 
 
-def decode_core(PK, PKH, g):
+def decode_core(PK, PKH, g, maxl: int = 15, maxd: int = 15):
     """Stage-A math on peek windows — shape-polymorphic elementwise core
     shared by the XLA path (decode_positions, [B, 64, W64] operands) and
     the Pallas kernel (ops/wave_stagea.py, [64, TW] VMEM tiles).
+
+    maxl/maxd bound the canonical-decode compare rounds (litlen /
+    distance code lengths).  Stage A runs at the fused-VPU op floor, so
+    skipping rounds no block needs is a direct win: typical dynamic
+    blocks top out at 9-12-bit codes (bench corpus: lit<=9, dist<=11)
+    against the RFC's 15.  Callers pass the exact per-bucket maximum
+    (ops host-parse the header anyway); a conservative 15 is always
+    correct.
 
     Returns two packed int32 arrays shaped like PK:
       A0 = advance(6) | emit(9)<<6 | class(2)<<15 | X(9)<<17 | len(4)<<26
@@ -528,7 +536,7 @@ def decode_core(PK, PKH, g):
       P1 = dist(15).
     """
     found, len_, r_rel, (metasel, masksel) = _canon_decode(
-        PK, g, "l_lim", "l_first", ["l_meta", "l_mask"])
+        PK, g, "l_lim", "l_first", ["l_meta", "l_mask"], maxl)
 
     nlit = metasel & 0x1FF
     has_eob = _srl(metasel, 9) & 1
@@ -553,7 +561,7 @@ def decode_core(PK, PKH, g):
     a1c = jnp.clip(adv1, 1, 24)
     pk2 = _srl(PK, a1c) | (PKH << (32 - a1c))
     dfound, dlen, dr_rel, (dmasksel,) = _canon_decode(
-        pk2, g, "d_lim", "d_first", ["d_mask"])
+        pk2, g, "d_lim", "d_first", ["d_mask"], maxd)
     dsym = select_bit32(dmasksel, dr_rel)                  # 0..29
     dh = jnp.clip(_srl(dsym, 1) - 1, 0, 13)
     debits = jnp.where(dsym < 4, 0, dh)
@@ -573,7 +581,8 @@ def decode_core(PK, PKH, g):
     return A0, dist
 
 
-def decode_positions(nwords, md, W64: int):
+def decode_positions(nwords, md, W64: int, maxl: int = 15,
+                     maxd: int = 15):
     """Stage A, XLA backend: speculative decode at every bit position.
 
     Returns A0, P1 each [B, 64, W64] int32 (decode_core packing)."""
@@ -583,7 +592,7 @@ def decode_positions(nwords, md, W64: int):
     def g(key, l):
         return md[key][:, l].astype(I32).reshape(B, 1, 1)
 
-    return decode_core(PK, PKH, g)
+    return decode_core(PK, PKH, g, maxl, maxd)
 
 
 # ====================== window prep =======================================
@@ -790,9 +799,11 @@ def merge_match_runs(rec0, rec1, interpret, route_pallas):
     return L0, D, jnp.sum(lv, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("W64", "interpret"))
+@functools.partial(jax.jit, static_argnames=("W64", "interpret",
+                                             "maxl", "maxd"))
 def wave_decode(nwords, hints, out_expect, md, W64: int,
-                interpret: bool = False, stop_bit=None):
+                interpret: bool = False, stop_bit=None,
+                maxl: int = 15, maxd: int = 15):
     """Stages A-F on device for one bucket of B huffman blocks.
 
     nwords [B, 2*W64+4] normalized windows; hints [B, W64] int32;
@@ -818,14 +829,15 @@ def wave_decode(nwords, hints, out_expect, md, W64: int,
         # without leaving VMEM
         from deflate_tpu.ops.wave_stagea import decode_mark_pallas
         A0c, P1c, sums = decode_mark_pallas(
-            nwords, hints, md, W64, stop_bit, interpret=interpret)
+            nwords, hints, md, W64, stop_bit, interpret=interpret,
+            maxl=maxl, maxd=maxd)
     else:
         if bool(int(os.environ.get("DT_STAGEA_PALLAS", "1"))):
             from deflate_tpu.ops.wave_stagea import decode_positions_pallas
             A0, P1 = decode_positions_pallas(nwords, md, W64,
                                              interpret=interpret)
         else:
-            A0, P1 = decode_positions(nwords, md, W64)
+            A0, P1 = decode_positions(nwords, md, W64, maxl, maxd)
         if stop_bit is not None:
             # A0[:, t, w] holds bit position 64*w + t
             pos = (jnp.arange(W64, dtype=I32)[None, None, :] * 64

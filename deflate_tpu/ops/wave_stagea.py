@@ -71,7 +71,8 @@ SUM_KEYS = ("Mlo", "Mhi", "Clo", "Chi", "sum_emit", "sum_cnt",
 
 
 def _kernel_ab(we_ref, wo_ref, w2_ref, w3_ref, h_ref, md_ref,
-               a0_ref, p1_ref, sm_ref, *, TW: int):
+               a0_ref, p1_ref, sm_ref, *, TW: int, maxl: int = 15,
+               maxd: int = 15):
     """Fused stages A+B+chunk-compaction: per-bit-position decode, the
     64-step chunk mark automaton, AND the within-chunk symbol
     compaction (wave.chunk_compact's 6 monotone roll rounds, here as
@@ -98,7 +99,7 @@ def _kernel_ab(we_ref, wo_ref, w2_ref, w3_ref, h_ref, md_ref,
     def g(key, l):
         return md_ref[0, ki[key], l]
 
-    A0, P1 = W.decode_core(PK, PKH, g)
+    A0, P1 = W.decode_core(PK, PKH, g, maxl, maxd)
 
     # synthetic stop (skeleton-cut virtual blocks): override the decode
     # at exactly stop_bit with an EOB record (advance 1, emit 0, cls 2).
@@ -183,9 +184,11 @@ def _kernel_ab(we_ref, wo_ref, w2_ref, w3_ref, h_ref, md_ref,
     p1_ref[0] = p_c[:W.CCAP]
 
 
-@functools.partial(jax.jit, static_argnames=("W64", "interpret"))
+@functools.partial(jax.jit, static_argnames=("W64", "interpret",
+                                             "maxl", "maxd"))
 def decode_mark_pallas(nwords, hints, md, W64: int, stop_bit=None,
-                       interpret: bool = False):
+                       interpret: bool = False, maxl: int = 15,
+                       maxd: int = 15):
     """Fused stage A+B+compaction: returns (A0c, P1c each
     [B, CCAP, W64] — chunk w's rank-j symbol record at [b, j, w] — and
     sums dict of [B, W64]).  Drop-in for decode_positions +
@@ -216,7 +219,7 @@ def decode_mark_pallas(nwords, hints, md, W64: int, stop_bit=None,
     sms = pl.BlockSpec((1, len(SUM_KEYS), TW), lambda b, j: (b, 0, j),
                        memory_space=pltpu.VMEM)
     A0c, P1c, sm = pl.pallas_call(
-        functools.partial(_kernel_ab, TW=TW),
+        functools.partial(_kernel_ab, TW=TW, maxl=maxl, maxd=maxd),
         grid=(B, W64 // TW),
         in_specs=[ws, ws, ws, ws, ws, ms],
         out_specs=[os_, os_, sms],

@@ -49,12 +49,13 @@ def main():
     t_prep = time.perf_counter() - t0
     print(f"host parse_headers: {t_hdr*1e3:8.2f} ms")
     print(f"host prepare_bucketed total: {t_prep*1e3:8.2f} ms")
-    for sel, (buf, off), W64, n, npad in calls:
+    for sel, (buf, off), W64, n, npad, mx in calls:
         print(f"  bucket W64={W64:5d}: n={n:4d} npad={npad} off={off}")
 
     # ---- per-bucket device time ----
-    for sel, (buf, off), W64, n, npad in calls:
-        f = lambda: WD.wave_decode_packed(buf, W64, n, npad, off=off)
+    for sel, (buf, off), W64, n, npad, mx in calls:
+        f = lambda: WD.wave_decode_packed(buf, W64, n, npad, off=off,
+                                          maxl=mx[0], maxd=mx[1])
         out = f()
         int(jnp.sum(out[:, 0]))
         reps = 5
@@ -69,8 +70,9 @@ def main():
 
     # ---- all buckets pipelined (the bench's dstep) ----
     def dstep():
-        return [WD.wave_decode_packed(buf, W64, n, npad, off=off)
-                for _, (buf, off), W64, n, npad in calls]
+        return [WD.wave_decode_packed(buf, W64, n, npad, off=off,
+                                      maxl=mx[0], maxd=mx[1])
+                for _, (buf, off), W64, n, npad, mx in calls]
 
     outs = dstep()
     int(jnp.sum(outs[-1][:, 0]))

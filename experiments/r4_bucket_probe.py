@@ -49,21 +49,24 @@ def main():
     prep, calls = WD.prepare_bucketed(stream, offs, sizes, hints)
 
     # warm + verify everything first
-    for _, (b, o), W64, n, npad in calls:
-        out = WD.wave_decode_packed(b, W64, n, npad, off=o)
+    for _, (b, o), W64, n, npad, mx in calls:
+        out = WD.wave_decode_packed(b, W64, n, npad, off=o,
+                                    maxl=mx[0], maxd=mx[1])
         assert int(jnp.sum(out[:, -1])) == 0, f"decode err in W64={W64}"
     print("all buckets warmed, err=0", flush=True)
 
     def timed(order, mode, reps=5):
-        for _, (b, o), W64, n, npad in order:
+        for _, (b, o), W64, n, npad, mx in order:
             t0 = time.perf_counter()
             if mode == "pipelined":
                 for _ in range(reps):
-                    out = WD.wave_decode_packed(b, W64, n, npad, off=o)
+                    out = WD.wave_decode_packed(b, W64, n, npad, off=o,
+                                                maxl=mx[0], maxd=mx[1])
                 int(jnp.sum(out[:, 0]) + jnp.sum(out[:, -1]))
             else:
                 for _ in range(reps):
-                    out = WD.wave_decode_packed(b, W64, n, npad, off=o)
+                    out = WD.wave_decode_packed(b, W64, n, npad, off=o,
+                                                maxl=mx[0], maxd=mx[1])
                     int(jnp.sum(out[:, 0]))
             dt = (time.perf_counter() - t0) / reps
             nb = n * BLOCK_SIZE

@@ -11,13 +11,18 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
-# Long single-process test sessions have segfaulted inside jaxlib's
-# persistent-compile-cache serialization (jax/_src/compilation_cache.py
-# put_executable_and_time) after many large Pallas compiles — observed
-# twice during round-3 judging.  The cache only exists to speed up the
-# axon/TPU first-touch path; tests run on CPU, so disable it here before
-# deflate_tpu's import-time _enable_compile_cache() can switch it on.
-os.environ["DEFLATE_TPU_COMPILE_CACHE"] = ""
+# Long single-process test sessions have segfaulted/aborted inside
+# jaxlib — in the persistent-compile-cache write during round-3 judging
+# AND in plain XLA:CPU compiles (round 4, cache disabled) — so the real
+# guard is pytest.ini's per-file xdist workers, not the cache toggle.
+# Tests default to a repo-local cache dir: the suite is compile-bound on
+# this 4-core box (every worker recompiling every program is the wall
+# time), and warm replays cut the quick tier severalfold.  Set
+# DEFLATE_TPU_COMPILE_CACHE= (empty) to run cache-less.
+os.environ.setdefault(
+    "DEFLATE_TPU_COMPILE_CACHE",
+    os.path.join(os.path.dirname(__file__), os.pardir, ".cache",
+                 "jax_test"))
 
 import jax  # noqa: E402
 

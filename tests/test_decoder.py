@@ -75,6 +75,7 @@ def test_corruption_detected():
     assert err or out != data
 
 
+@pytest.mark.slow
 def test_reference_corpus_zlib_containers():
     for name in ("weird.dat", "zlib.dat"):
         z = open(f"/root/reference/{name}", "rb").read()

@@ -55,6 +55,7 @@ def test_compress_mesh_roundtrip():
     assert zlib.decompress(out, -15) == data
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     import __graft_entry__ as GE
 

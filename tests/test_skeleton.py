@@ -91,6 +91,7 @@ class TestPlannedDecode:
         data = rnd + rnd[:20000] + b"x" * 5000
         _planned(data, zlib.compress(data, 6)[2:-4])
 
+    @pytest.mark.slow
     def test_tiny_inputs(self):
         for d in (b"", b"x", b"hello world"):
             _planned(d, zlib.compress(d, 9)[2:-4])

@@ -392,6 +392,7 @@ def test_stagea_pallas_equivalence():
     assert (np.asarray(P1x) == np.asarray(P1p)).all()
 
 
+@pytest.mark.slow
 def test_stageab_fused_equivalence():
     """decode_mark_pallas (fused A+B, interpret) matches decode_positions
     + chunk_automaton bit-exactly, including the stop_bit override."""
