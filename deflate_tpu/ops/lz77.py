@@ -180,10 +180,13 @@ def find_matches(block: jax.Array, blen: jax.Array, num_cands: int,
 
             best = jax.lax.fori_loop(1, K + 1, body, init)
         best_l, best_d = best
-        # restore position order: spos is a permutation of 0..n-1
-        _, length, dist = jax.lax.sort([spos, best_l, best_d],
-                                       dimension=0, num_keys=1)
-        return length, dist
+        # restore position order: spos is a permutation of 0..n-1.
+        # L(<=64, 7 bits) packs above dist(<=32768, 16 bits) so the
+        # restore carries ONE payload operand instead of two (multi-
+        # operand sorts cost ~linearly per operand on v5e).
+        packed = (best_l << 16) | best_d
+        _, pk = jax.lax.sort([spos, packed], dimension=0, num_keys=1)
+        return pk >> 16, pk & 0xFFFF
 
     # tiered hash chains (zlib walks one 3-byte chain thousands of
     # candidates deep; with K sorted-adjacent candidates per chain we
