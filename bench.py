@@ -161,13 +161,17 @@ def main():
             return int(jnp.sum(outs[-1][:, 0]) + jnp.sum(outs[-1][:, -1]))
 
         _mark("timing device decode")
+        # 10 reps: the ~26 ms tunnel round-trip of the single trailing
+        # scalar sync amortizes to ~2.6 ms (at 3 reps it inflated the
+        # per-rep time by ~9 ms — measured via an unpack-only baseline,
+        # experiments/r4_bucket_stages.py)
         outs = dstep()
         syncv(outs)
         t0 = time.perf_counter()
-        for _ in range(3):
+        for _ in range(10):
             outs = dstep()
         syncv(outs)
-        ddt = (time.perf_counter() - t0) / 3
+        ddt = (time.perf_counter() - t0) / 10
         device_decode_mbps = round(nbytes / ddt / 1e6, 1)
 
         # end-to-end: stream bytes in -> verified bytes out, including

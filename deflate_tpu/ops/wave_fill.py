@@ -88,7 +88,8 @@ def _fill_block(mem, sb: "jax.Array", recs, rb, nm, p0,
 
     def wr8(p, v0, v1, m0, m1):
         """Masked write of 8 bytes (v0,v1 under m0,m1) at byte p —
-        one fused 3-word RMW."""
+        one fused 3-word RMW; the third word's RMW is skipped when its
+        mask is empty (every aligned p, ~60%+ of short matches)."""
         wi = _srl(p, 2)
         sh = (p & 3) * 8
         ns = 32 - jnp.maximum(sh, 1)
@@ -97,26 +98,34 @@ def _fill_block(mem, sb: "jax.Array", recs, rb, nm, p0,
         mb = jnp.where(sh == 0, m1, _srl(m0, ns) | (m1 << sh))
         vb = jnp.where(sh == 0, v1, _srl(v0, ns) | (v1 << sh))
         mc = jnp.where(sh == 0, i32(0), _srl(m1, ns))
-        vc = jnp.where(sh == 0, i32(0), _srl(v1, ns))
         a = mem[sb + wi]
         mem[sb + wi] = (a & ~ma) | (va & ma)
         b = mem[sb + wi + 1]
         mem[sb + wi + 1] = (b & ~mb) | (vb & mb)
-        c = mem[sb + wi + 2]
-        mem[sb + wi + 2] = (c & ~mc) | (vc & mc)
+
+        @pl.when(mc != 0)
+        def _():
+            vc = _srl(v1, ns)
+            c = mem[sb + wi + 2]
+            mem[sb + wi + 2] = (c & ~mc) | (vc & mc)
 
     def wr4(p, w, m):
-        """Masked write of one 4-byte group at byte p (2-word RMW)."""
+        """Masked write of one 4-byte group at byte p; the second
+        word's RMW is skipped when the group fits the first (about
+        half of length-3/4 matches)."""
         wi = _srl(p, 2)
         sh = (p & 3) * 8
         ma = m << sh
         va = w << sh
-        mb = jnp.where(sh == 0, i32(0), _srl(m, 32 - sh))
-        vb = jnp.where(sh == 0, i32(0), _srl(w, 32 - sh))
         a = mem[sb + wi]
         mem[sb + wi] = (a & ~ma) | (va & ma)
-        b = mem[sb + wi + 1]
-        mem[sb + wi + 1] = (b & ~mb) | (vb & mb)
+        mb = jnp.where(sh == 0, i32(0), _srl(m, 32 - jnp.maximum(sh, 1)))
+
+        @pl.when(mb != 0)
+        def _():
+            vb = _srl(w, 32 - jnp.maximum(sh, 1))
+            b = mem[sb + wi + 1]
+            mem[sb + wi + 1] = (b & ~mb) | (vb & mb)
 
     def masks(eff):
         """Byte masks for the first min(eff, 8) bytes as two words."""
