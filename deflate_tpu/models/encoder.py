@@ -107,8 +107,24 @@ def tokenize_block(block, blen, level: int):
               if level == 2 else 32)
         tile = 512 if level == 2 else 2048
         tiers = () if level == 2 else (2, 4)
+        # Far len-3 matches cost more bits than 3 literals on text-like
+        # data but pay off on low-entropy data (bitmap row strides) —
+        # see LZ.find_matches.  Fast level: static 256.  Best level:
+        # per-block adaptive on byte entropy (bitmaps ~2 bits/byte vs
+        # text >= 4.5; one extra [N] sort, ~1 ms per 32 blocks).
+        if level == 2:
+            toofar3 = int(_os2.environ.get("DT_TOOFAR3", "256"))
+        else:
+            sb = jnp.sort(block.astype(jnp.int32))
+            edges = jnp.searchsorted(sb, jnp.arange(257, dtype=jnp.int32))
+            cnt = jnp.diff(edges)
+            cnt = cnt.at[0].add(-(N - blen))     # exclude the zero pad
+            p = cnt / jnp.maximum(blen, 1)
+            ent = -jnp.sum(jnp.where(
+                cnt > 0, p * jnp.log2(jnp.maximum(p, 1e-12)), 0.0))
+            toofar3 = jnp.where(ent < 3.5, 4096, 256)
         length, dist = LZ.find_matches(block, blen, K, win_words=ww,
-                                       tiers=tiers)
+                                       tiers=tiers, toofar3=toofar3)
     else:
         length = jnp.zeros((N,), jnp.int32)
         dist = jnp.zeros((N,), jnp.int32)

@@ -92,7 +92,8 @@ def _xor_bytes_eq(x: jax.Array) -> jax.Array:
 
 
 def find_matches(block: jax.Array, blen: jax.Array, num_cands: int,
-                 win_words: int = WIN_WORDS, tiers: tuple = ()):
+                 win_words: int = WIN_WORDS, tiers: tuple = (),
+                 toofar3: int = 4096):
     """Best match (length, distance) at every position of one block.
 
     block: uint8 [n] (n = BLOCK_SIZE, zero padding past blen)
@@ -101,9 +102,16 @@ def find_matches(block: jax.Array, blen: jax.Array, num_cands: int,
     win_words: comparison window in u32 words (8 = 32 bytes for the fast
                level, 16 = 64 bytes for best — longer windows mean fewer
                cap-blind candidate choices)
-
-    Returns (length int32 [n], dist int32 [n]) in position order; length
-    < MIN_MATCH means no usable match.
+    toofar3:   drop length-3 matches beyond this distance (zlib's
+               TOO_FAR idea).  A far len-3 match costs ~16-20 bits
+               (len code + long dist code + extras) vs ~14-16 bits for
+               3 text literals, AND costs the wavefront decoder a
+               scalar fill record — on the bench corpus tightening
+               4096 -> 256 IMPROVES the fast level's ratio 0.6029 ->
+               0.5942 while cutting match records.  Bitmap-like data
+               (low literal entropy, row-stride distances) goes the
+               other way: test.bmp L3 needs the full 4096 (2976 B vs
+               3018 at 256), so the best level keeps zlib's value.
     """
     n = block.shape[0]
     nw = n // 4
@@ -156,7 +164,7 @@ def find_matches(block: jax.Array, blen: jax.Array, num_cands: int,
                 L = L + run * _xor_bytes_eq(x)
                 run = run * (x == 0).astype(jnp.int32)
             L = jnp.minimum(L, slimit) * same
-            L = jnp.where((L == MIN_MATCH) & (dist > 4096), 0, L)
+            L = jnp.where((L == MIN_MATCH) & (dist > toofar3), 0, L)
             better = L > best_l
             return (jnp.where(better, L, best_l),
                     jnp.where(better, dist, best_d))
