@@ -60,3 +60,24 @@ def test_zipf_text_parse_matches_blockwise_zlib9():
     assert len(enc) <= z9_whole * 1.12, (len(enc), z9_whole)
 
 
+
+def test_l2_mixed_corpus_ratio():
+    """Round-4 TOO_FAR tuning: the fast level must stay at-or-below
+    0.600 on a bench-like mixed corpus (text/repeats/words/random
+    quarters) — it measured 0.5942 after dropping far len-3 matches,
+    down from 0.6029.  A parse regression (or a too-loose TOO_FAR)
+    trips this before it reaches the driver bench."""
+    rng = np.random.default_rng(42)
+    per = 8 * 32768
+    segs = [rng.integers(97, 123, per, dtype=np.uint8)]
+    pat = rng.integers(0, 256, 509, dtype=np.uint8)
+    segs.append(np.tile(pat, per // 509 + 1)[:per])
+    words = rng.integers(32, 127, (per // 8, 6), dtype=np.uint8)
+    segs.append(np.concatenate(
+        [np.concatenate([w, np.array([32, 32], np.uint8)])
+         for w in words])[:per])
+    segs.append(rng.integers(0, 256, per, dtype=np.uint8))
+    data = np.concatenate(segs).tobytes()
+    enc = deflate_tpu.compress(data, 2)
+    assert zlib.decompress(enc, -15) == data
+    assert len(enc) / len(data) <= 0.600, len(enc) / len(data)
