@@ -290,65 +290,52 @@ def choose_blocks(fixed_bits, dyn_bits, blens, live, level: int,
     [B]; offsets are absolute (include phase0).
 
     The only cross-block dependency is the running offset, and block bits
-    depend on it only through offset mod 8 (the stored padding).  Three
-    passes replace the naive B-step scan (sequential lax.scan steps cost
-    ~4-20 us EACH on v5e regardless of body size): (1) `chunk` unrolled
-    steps, vectorized across chunks, compute each chunk's total bits for
-    all 8 entry phases; (2) one B/chunk-step scan threads the offset
-    through chunks; (3) `chunk` unrolled steps re-derive per-block
-    outputs from the now-known chunk entry offsets.
+    depend on it only through offset mod 8 (the stored padding).  Each
+    block therefore defines a tiny map over the 8 entry phases
+    (phase -> bits appended); the stream offsets are the prefix
+    composition of those maps — computed by log2(B) Hillis-Steele
+    doubling rounds over [B, 8] arrays (composition = an 8-way select),
+    with NO sequential scan at all (scan steps cost ~4-20 us EACH of
+    dispatch on v5e; the r3 chunked-scan version still measured 8 ms
+    per 256 blocks).
     """
     B = fixed_bits.shape[0]
     phase0 = jnp.asarray(phase0, jnp.int32)
-    if B % chunk or B <= chunk:
-        def step(offset, x):
-            fb, db, bl, lv = x
-            choice, pad, bits = _choose_one(offset, fb, db, bl, lv, level)
-            return offset + bits, (choice, pad, offset, bits)
 
-        _, (choice, pad, offset, bits) = jax.lax.scan(
-            step, phase0, (fixed_bits, dyn_bits, blens, live))
-        return choice, pad, offset, bits
+    # bits8[b, p]: bits block b appends when entering at stream phase p
+    ph = jnp.arange(8, dtype=jnp.int32)[None, :]
+    _, _, bits8 = _choose_one(ph, fixed_bits[:, None], dyn_bits[:, None],
+                              blens[:, None], live[:, None], level)
 
-    C = B // chunk
-    fb = fixed_bits.reshape(C, chunk)
-    db = dyn_bits.reshape(C, chunk)
-    bl = blens.reshape(C, chunk)
-    lv = live.reshape(C, chunk)
+    def compose(Lm, Rm):
+        """(L then R)[p] = L[p] + R[(p + L[p]) & 7] — 8-way select."""
+        idx = (ph + Lm) & 7
+        acc = jnp.zeros_like(Lm)
+        for j in range(8):
+            acc = acc + jnp.where(idx == j, Rm[:, j:j + 1], 0)
+        return Lm + acc
 
-    # pass 1: per-chunk total bits for each of the 8 entry phases
-    off8 = jnp.broadcast_to(jnp.arange(8, dtype=jnp.int32)[None], (C, 8))
-    tot8 = jnp.zeros((C, 8), jnp.int32)
-    for j in range(chunk):
-        _, _, bits = _choose_one(off8, fb[:, j:j + 1], db[:, j:j + 1],
-                                 bl[:, j:j + 1], lv[:, j:j + 1], level)
-        off8 = off8 + bits
-        tot8 = tot8 + bits
+    # inclusive prefix composition, then shift to exclusive
+    M = bits8
+    d = 1
+    while d < B:
+        top = jnp.zeros((min(d, B), 8), jnp.int32)      # identity maps
+        M = compose(jnp.concatenate([top, M[:-d]]), M)
+        d *= 2
+    excl = jnp.concatenate([jnp.zeros((1, 8), jnp.int32), M[:-1]])
 
-    # pass 2: thread the offset through chunks (C scan steps, unrolled —
-    # each sequential scan step costs ~4-20 us of dispatch on v5e)
-    def cstep(o, t8):
-        sel = jnp.sum(jnp.where(jnp.arange(8) == (o & 7), t8, 0))
-        return o + sel, o
-
-    _, centry = jax.lax.scan(cstep, phase0, tot8, unroll=8)
-
-    # pass 3: per-block outputs at the actual entry offsets
-    off = centry                                   # [C]
-    outs = []
-    for j in range(chunk):
-        choice, pad, bits = _choose_one(off, fb[:, j], db[:, j],
-                                        bl[:, j], lv[:, j], level)
-        outs.append((choice, pad, off, bits))
-        off = off + bits
-    stack = [jnp.stack([o[i] for o in outs], axis=1).reshape(B)
-             for i in range(4)]
-    return tuple(stack)
+    p0 = phase0 & 7
+    offset = phase0 + jnp.sum(
+        jnp.where(jnp.arange(8)[None, :] == p0, excl, 0), axis=1)
+    choice, pad, bits = _choose_one(offset, fixed_bits, dyn_bits,
+                                    blens, live, level)
+    return choice, pad, offset, bits
 
 
-def _emit_fields(block, blen, plan, choice, pad, bfinal):
+def _emit_fields_base(block, blen, plan, choice, pad, bfinal):
     """Shared stage-C planning: per-position packet payloads + header
-    entries.  Both placement backends consume this — the XLA scatter path
+    entries.  All placement backends consume this — the merge-tree
+    backend (ops/bitmerge.py, the default), the XLA scatter path
     (emit_block) and the Pallas bit-pack kernel (build_packets +
     ops/pallas_pack.py)."""
     tk = plan["tk"]
@@ -412,15 +399,42 @@ def _emit_fields(block, blen, plan, choice, pad, bfinal):
                             fld << jnp.clip(sh - 32, 0, 31).astype(jnp.uint32))
         sh = sh + l
 
-    # --- hierarchical packet fusion: four halving levels fold up to 16
-    # consecutive tokens (literal runs, match+literal mixes) whose bits
-    # fit one <=64-bit packet (16 tokens fuse when codes run <=4 bits —
-    # common on skewed text).  The
-    # scalar-core packer costs ~12 ns PER PACKET regardless of width
-    # (ops/pallas_pack.py) and text blocks are literal runs, so this
-    # cuts the hottest encode stage up to 8x.  The bitstream emitted is
-    # unchanged; sh_sym keeps per-SYMBOL widths for the decode hints.
-    sh_sym = sh
+    sh_sym = sh                     # per-SYMBOL widths (decode hints)
+
+    # --- preamble + dynamic header entries -------------------------------
+    btype = jnp.where(stored, 0, jnp.where(fixed, 1, 2))
+    hdr3 = jnp.stack([bfinal.astype(jnp.int32) | (btype << 1),
+                      jnp.int32(0),              # stored byte-align padding
+                      blen, blen ^ 0xFFFF])      # LEN, NLEN
+    hdr3_l = jnp.stack([jnp.int32(3),
+                        jnp.where(stored, pad, 0),
+                        jnp.where(stored, 16, 0),
+                        jnp.where(stored, 16, 0)])
+    hv = plan["header_vals"]
+    hl = jnp.where(dyn, plan["header_lens"], 0)
+
+    eob_len = jnp.where(stored, 0, lit_lens[256])
+    eob_code = H.bit_reverse(lit_nc[jnp.clip(lit_lens[256], 0, 15)]
+                             + lit_rank[256], lit_lens[256])
+    ev = (eob_code.astype(jnp.uint32)
+          & ((jnp.uint32(1) << eob_len.astype(jnp.uint32)) - 1))
+
+    return {"lo": lo, "hi": hi, "sh": sh, "sh_sym": sh_sym,
+            "live_tok": live_tok, "is_match": m, "len": tk["len"],
+            "stored": stored, "hdr3": hdr3, "hdr3_l": hdr3_l,
+            "hv": hv, "hl": hl, "eob_v": ev, "eob_len": eob_len,
+            "ntok": tk["ntok"]}
+
+
+def _emit_fields(block, blen, plan, choice, pad, bfinal):
+    """Legacy stage-C planning for the scatter/kernel backends: the base
+    fields plus hierarchical <=64-bit packet fusion (folds up to 16
+    consecutive tokens into one packet — the scalar-core packer costs
+    ~12 ns PER PACKET regardless of width, ops/pallas_pack.py).  The
+    merge-tree backend subsumes this in its lower tree levels."""
+    f = _emit_fields_base(block, blen, plan, choice, pad, bfinal)
+    lo, hi, sh = f["lo"], f["hi"], f["sh"]
+    live_tok, m = f["live_tok"], f["is_match"]
 
     def comp64(loA, hiA, sA, loB, hiB, sB):
         """Concatenate packet B after packet A (sA + sB <= 64)."""
@@ -441,7 +455,7 @@ def _emit_fields(block, blen, plan, choice, pad, bfinal):
     # the LEFT packet covers its half exactly — otherwise a live token
     # hiding between the halves would be reordered.  Matches may always
     # join on the RIGHT (their coverage just accumulates).
-    runw = jnp.where(lr, jnp.where(m, tk["len"], 1), 0)
+    runw = jnp.where(lr, jnp.where(m, f["len"], 1), 0)
     for lvl in range(4):
         w = 1 << lvl
         loR = lo.reshape(-1, 2 * w)
@@ -464,29 +478,8 @@ def _emit_fields(block, blen, plan, choice, pad, bfinal):
         live_tok = lvR.at[:, w].set(lvR[:, w] & ~can).reshape(-1)
     n_live = jnp.sum(live_tok.astype(jnp.int32))
 
-    # --- preamble + dynamic header entries -------------------------------
-    btype = jnp.where(stored, 0, jnp.where(fixed, 1, 2))
-    hdr3 = jnp.stack([bfinal.astype(jnp.int32) | (btype << 1),
-                      jnp.int32(0),              # stored byte-align padding
-                      blen, blen ^ 0xFFFF])      # LEN, NLEN
-    hdr3_l = jnp.stack([jnp.int32(3),
-                        jnp.where(stored, pad, 0),
-                        jnp.where(stored, 16, 0),
-                        jnp.where(stored, 16, 0)])
-    hv = plan["header_vals"]
-    hl = jnp.where(dyn, plan["header_lens"], 0)
-
-    eob_len = jnp.where(stored, 0, lit_lens[256])
-    eob_code = H.bit_reverse(lit_nc[jnp.clip(lit_lens[256], 0, 15)]
-                             + lit_rank[256], lit_lens[256])
-    ev = (eob_code.astype(jnp.uint32)
-          & ((jnp.uint32(1) << eob_len.astype(jnp.uint32)) - 1))
-
-    return {"lo": lo, "hi": hi, "sh": sh, "sh_sym": sh_sym,
-            "live_tok": live_tok, "n_live": n_live,
-            "stored": stored, "hdr3": hdr3, "hdr3_l": hdr3_l,
-            "hv": hv, "hl": hl, "eob_v": ev, "eob_len": eob_len,
-            "ntok": tk["ntok"]}
+    return {**f, "lo": lo, "hi": hi, "sh": sh, "live_tok": live_tok,
+            "n_live": n_live}
 
 
 def emit_block(block, blen, plan, choice, pad, bfinal):
@@ -637,18 +630,20 @@ def _finish_block(words, block, blen, stored, pad, nbits):
     # --- stored payload: whole-block funnel shift into place ---
     b4 = block.astype(jnp.uint32).reshape(-1, 4)
     w = (b4[:, 0] | (b4[:, 1] << 8) | (b4[:, 2] << 16) | (b4[:, 3] << 24))
-    t = 35 + pad                     # bit offset of the payload
-    k = t >> 5
+    t = 35 + pad                     # bit offset of the payload, 35..42:
+    # the word offset t>>5 is ALWAYS 1 (pad <= 7), so placement is a
+    # static one-word shift — a concat, not the [WB]-lane scatter that
+    # cost 20 ms per 256-block bucket in r4
     r = (t & 31).astype(jnp.uint32)
     prev = jnp.concatenate([jnp.zeros((1,), jnp.uint32), w[:-1]])
     sh = (w << r) | jnp.where(r == 0, jnp.uint32(0),
                               prev >> (jnp.uint32(32) - r))
     tail = jnp.where(r == 0, jnp.uint32(0), w[-1] >> (jnp.uint32(32) - r))
     nw = w.shape[0]
-    tgt = jnp.arange(nw, dtype=jnp.int32) + k
-    inject = jnp.zeros((WB,), jnp.uint32).at[tgt].add(
-        jnp.where(stored, sh, 0), mode="drop")
-    inject = inject.at[k + nw].add(jnp.where(stored, tail, 0), mode="drop")
+    inject = jnp.concatenate([
+        jnp.zeros((1,), jnp.uint32), jnp.where(stored, sh, 0),
+        jnp.where(stored, tail, 0)[None],
+        jnp.zeros((WB - nw - 2,), jnp.uint32)])
     words = words | inject
     # zero any payload bits beyond the stored length
     end = jnp.where(stored, t + 8 * blen, nbits)
@@ -665,15 +660,78 @@ def _finish_block(words, block, blen, stored, pad, nbits):
     return words & keep
 
 
+def _emit_merge_batch(blocks, blens, plans, choice, pad, bfinal):
+    """Stage C, merge-tree backend (the default): assemble every block's
+    bitstream with the pure-VPU binary merge of ops/bitmerge.py — no
+    routing kernel, no cumsum offsets, no scalar-core pack.  Emits
+    bit-identical streams to the scatter/kernel backends."""
+    from deflate_tpu.ops import bitmerge as BM
+
+    B = blocks.shape[0]
+    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa: E731
+    f = jax.vmap(
+        lambda bl, ln, i, ch, pd, bf: _emit_fields_base(
+            bl, ln, jax.tree.map(lambda x: x[i], plans), ch, pd, bf)
+    )(blocks, blens, jnp.arange(B), choice, pad, bfinal)
+
+    # token tree: density 16 bits/position + 32-bit boundary-match slack
+    # (a literal is <=15 bits; a <=48-bit match packet covers >=3
+    # positions except at the segment boundary)
+    tokw, tokb = BM.merge_bitstream(
+        bc(f["lo"]), bc(f["hi"]), f["sh"],
+        leaf_bits=48, density=16, slack=32, cap_bits=32 * WB)
+
+    # header tree: <=16-bit entries, padded to a power of two
+    hdr_lens = jnp.concatenate([f["hdr3_l"], f["hl"]], axis=1)
+    hmask = jnp.where(hdr_lens > 0,
+                      (jnp.int32(1) << jnp.minimum(hdr_lens, 16)) - 1, 0)
+    hdr_lo = (jnp.concatenate([f["hdr3"], f["hv"]], axis=1)
+              .astype(jnp.int32) & hmask)
+    NH = hdr_lo.shape[1]
+    P2 = 1 << (NH - 1).bit_length()
+    hdr_cap = 16 * NH
+    hdrw, hdrb = BM.merge_bitstream(
+        jnp.pad(hdr_lo, ((0, 0), (0, P2 - NH))), None,
+        jnp.pad(hdr_lens, ((0, 0), (0, P2 - NH))),
+        leaf_bits=16, density=16, slack=0, cap_bits=hdr_cap)
+
+    # block = header <> tokens <> EOB
+    out = jnp.pad(hdrw, ((0, 0), (0, WB - hdrw.shape[1])))
+    out, _ = BM.place_at(out, None, tokw, hdrb, max_off_bits=hdr_cap)
+    nb0 = hdrb + tokb
+    ev = bc(f["eob_v"])
+    r = nb0 & 31
+    lo_add = ev << r
+    hi_add = jnp.where(r == 0, 0,
+                       jax.lax.shift_right_logical(
+                           ev, 32 - jnp.maximum(r, 1)))
+    idx = jnp.arange(B, dtype=jnp.int32) * WB + (nb0 >> 5)
+    flat = out.reshape(-1)
+    flat = flat.at[idx].add(lo_add).at[idx + 1].add(hi_add, mode="drop")
+    words = jax.lax.bitcast_convert_type(flat.reshape(B, WB), jnp.uint32)
+    nbits = nb0 + f["eob_len"]
+    return jax.vmap(_finish_block)(words, blocks, blens, f["stored"],
+                                   pad, nbits)
+
+
 def _default_pack() -> str:
-    """Placement backend: the Pallas bit-pack kernel needs a real TPU
-    (interpret mode is far too slow for 33k-packet loops); everything
-    else uses the XLA scatter path."""
+    """Placement backend: the pure-XLA merge tree (ops/bitmerge.py) wins
+    on every platform; "kernel" (Pallas scalar-core pack) and "scatter"
+    are kept for differential testing."""
+    return "merge"
+
+
+def _default_trees(pack: str) -> str:
+    """Tree-build backend: the Pallas scalar-core builder on a real TPU
+    (pack != "scatter" implies nothing about platform, so probe), XLA
+    elsewhere."""
+    if pack == "kernel":
+        return "kernel"
     try:
         return ("kernel" if jax.devices()[0].platform in ("tpu", "axon")
-                else "scatter")
+                else "xla")
     except Exception:
-        return "scatter"
+        return "xla"
 
 
 @partial(jax.jit, static_argnames=("level", "pack"))
@@ -696,12 +754,15 @@ def encode_batch(blocks, blens, live, final_idx, level: int, phase0=0,
     B = blocks.shape[0]
     phase0 = jnp.asarray(phase0, jnp.int32)
     plans = batch_plan(blocks, blens, level,
-                       trees="kernel" if pack == "kernel" else "xla")
+                       trees=_default_trees(pack))
     choice, pad, offset, bits = choose_blocks(
         plans["fixed_bits"], plans["dyn_bits"], blens, live, level, phase0)
     offset = offset - phase0            # segment-relative placement
     bfinal = jnp.arange(B) == final_idx
-    if pack == "kernel":
+    if pack == "merge":
+        words = _emit_merge_batch(blocks, blens, plans, choice, pad,
+                                  bfinal)
+    elif pack == "kernel":
         from deflate_tpu.ops import pallas_pack as PK
 
         pre = jax.vmap(
@@ -751,7 +812,7 @@ def encode_batch_with_offsets(blocks, blens, live, final_idx, level: int,
     # choose_blocks is deterministic given the same plans; recompute the
     # tiny scan outputs inside the same jit so XLA shares the plan work
     plans = batch_plan(blocks, blens, level,
-                       trees="kernel" if pack == "kernel" else "xla")
+                       trees=_default_trees(pack))
     choice, pad, offset, bits = choose_blocks(
         plans["fixed_bits"], plans["dyn_bits"], blens, live, level,
         jnp.asarray(phase0, jnp.int32))
@@ -771,8 +832,7 @@ def encode_blocks_multi(blocks, blens, live, finals, owner, level: int):
     """
     B = blocks.shape[0]
     plans = batch_plan(blocks, blens, level,
-                       trees="kernel" if _default_pack() == "kernel"
-                       else "xla")
+                       trees=_default_trees(_default_pack()))
 
     def step(carry, x):
         offset, prev_owner = carry
@@ -851,7 +911,7 @@ def encode_batch_with_hints(blocks, blens, live, final_idx, level: int,
         blocks, blens, live, final_idx, level, phase0, pack=pack)
     B = blocks.shape[0]
     plans = batch_plan(blocks, blens, level,
-                       trees="kernel" if pack == "kernel" else "xla")
+                       trees=_default_trees(pack))
     choice, pad, _, _ = choose_blocks(
         plans["fixed_bits"], plans["dyn_bits"], blens, live, level,
         jnp.asarray(phase0, jnp.int32))
