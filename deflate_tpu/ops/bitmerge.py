@@ -60,12 +60,17 @@ def merge_bitstream(lo, hi, sh, *, leaf_bits: int, density: int,
     assert S & (S - 1) == 0, S
     assert leaf_bits <= min(density + slack, 64)
 
-    # [S, W, B]: batch on lanes
+    # Layout: [S, W, B] (batch on lanes) while W is small; once W
+    # reaches LANE_W the word axis moves to the lanes ([S, B, W]) —
+    # sub-tile shifts along a small sublane-tiled W axis measured ~17x
+    # below HBM speed on v5e (r5 trace, fusion.1171).
+    LANE_W = 256
     if leaf_bits <= 32:
         arr = lo.T[:, None, :]
     else:
         arr = jnp.stack([lo.T, hi.T], axis=1)
     bits = sh.T.astype(jnp.int32)                   # [S, B]
+    wlanes = False                                  # True once [S, B, W]
 
     k = 0
     while S > 1:
@@ -75,7 +80,34 @@ def merge_bitstream(lo, hi, sh, *, leaf_bits: int, density: int,
             maxa = min(maxa, leaf_bits)
         k += 1
         Wn = _cap_words(density, slack, 1 << k, cap_bits)
-        W = arr.shape[1]
+        W = arr.shape[2] if wlanes else arr.shape[1]
+
+        if not wlanes and Wn >= LANE_W:
+            arr = arr.transpose(0, 2, 1)            # -> [S, B, W]
+            wlanes = True
+
+        if wlanes:
+            pair = arr.reshape(S, 2, B, W)
+            A, Bv = pair[:, 0], pair[:, 1]
+            bp = bits.reshape(S, 2, B)
+            bA, bB = bp[:, 0], bp[:, 1]
+            if Wn > W:
+                Bv = jnp.pad(Bv, ((0, 0), (0, 0), (0, Wn - W)))
+            r = (bA & 31)[:, :, None]
+            prev = jnp.pad(Bv, ((0, 0), (0, 0), (1, 0)))[:, :, :Wn]
+            sb = jnp.where(r == 0, Bv,
+                           (Bv << r) | _srl(prev, 32 - jnp.maximum(r, 1)))
+            q = (bA >> 5)[:, :, None]
+            qmax = maxa >> 5
+            for t in range(max(qmax.bit_length(), 1) if qmax else 0):
+                s = 1 << t
+                shifted = jnp.pad(sb, ((0, 0), (0, 0), (s, 0)))[:, :, :Wn]
+                sb = jnp.where(((q >> t) & 1) == 1, shifted, sb)
+            if Wn > W:
+                A = jnp.pad(A, ((0, 0), (0, 0), (0, Wn - W)))
+            arr = A | sb
+            bits = bA + bB
+            continue
 
         pair = arr.reshape(S, 2, W, B)
         A, Bv = pair[:, 0], pair[:, 1]
@@ -101,7 +133,63 @@ def merge_bitstream(lo, hi, sh, *, leaf_bits: int, density: int,
         arr = A | sb
         bits = bA + bB
 
+    if wlanes:
+        return arr[0], bits[0]                      # already [B, W_top]
     return arr[0].T, bits[0]                        # [B, W_top], [B]
+
+
+def merge_words(words, bits, cap_words: int):
+    """Concatenate B word-array segments at bit granularity (the cross-
+    block stream concat — reference: copyBitstream, deflate.hpp:143-150).
+
+    words: int32/uint32 [B, W0], bits beyond bits[b] zero; B power of 2.
+    bits:  int32 [B]
+    cap_words: static output capacity (>= total bits / 32).
+
+    Same funnel + log-roll merge as merge_bitstream but with the word
+    axis on lanes ([S, W] layout — W starts at 8k+ here, so lanes are
+    wide without a batch dim).  Replaces a [B*W0]-lane scatter-add
+    (~9 ms per 256x8195 words on v5e) with ~2.2 GB of streamed
+    elementwise passes (~2.7 ms).
+
+    Returns (stream int32 [cap_words], total_bits).
+    """
+    dt = words.dtype
+    arr = words.astype(jnp.int32) if dt != jnp.int32 else words
+    S, W = arr.shape
+    assert S & (S - 1) == 0, S
+    bits = bits.astype(jnp.int32)
+
+    while S > 1:
+        S //= 2
+        Wn = min(2 * W, cap_words)
+        pair = arr.reshape(S, 2, W)
+        A, Bv = pair[:, 0], pair[:, 1]
+        bp = bits.reshape(S, 2)
+        bA, bB = bp[:, 0], bp[:, 1]
+        if Wn > W:
+            Bv = jnp.pad(Bv, ((0, 0), (0, Wn - W)))
+        r = (bA & 31)[:, None]
+        prev = jnp.pad(Bv, ((0, 0), (1, 0)))[:, :Wn]
+        sb = jnp.where(r == 0, Bv,
+                       (Bv << r) | _srl(prev, 32 - jnp.maximum(r, 1)))
+        q = (bA >> 5)[:, None]
+        for t in range(max(W.bit_length(), 1)):
+            s = 1 << t
+            shifted = jnp.pad(sb, ((0, 0), (s, 0)))[:, :Wn]
+            sb = jnp.where(((q >> t) & 1) == 1, shifted, sb)
+        if Wn > W:
+            A = jnp.pad(A, ((0, 0), (0, Wn - W)))
+        arr = A | sb
+        bits = bA + bB
+        W = Wn
+
+    out = arr[0]
+    if W < cap_words:
+        out = jnp.pad(out, (0, cap_words - W))
+    if dt != jnp.int32:
+        out = jax.lax.bitcast_convert_type(out, dt)
+    return out, bits[0]
 
 
 def place_at(words, bits_arr, seg_words, seg_off, *, max_off_bits: int):

@@ -144,7 +144,12 @@ def find_matches(block: jax.Array, blen: jax.Array, num_cands: int,
         """One hash-chain pass: co-sort by (h, pos), compare K lagged
         windows, restore position order.  Returns (length, dist) [n]."""
         key = jnp.where(valid, (h << 15) | pos_pm, (1 << 30) + pos_pm)
-        sorted_ops = jax.lax.sort([key] + wins, dimension=0, num_keys=1)
+        # the barrier stops XLA fusing the window construction into the
+        # sort comparator (re-computing operands per compare; ~5 ms per
+        # 256-block bucket, r5 trace)
+        sorted_ops = jax.lax.sort(
+            list(jax.lax.optimization_barrier([key] + wins)),
+            dimension=0, num_keys=1)
         skey, swins = sorted_ops[0], sorted_ops[1:]
         spos = skey & 0x7FFF
         shash = skey >> 15
@@ -156,13 +161,25 @@ def find_matches(block: jax.Array, blen: jax.Array, num_cands: int,
             same = ((shash == shift_k(shash, -1)).astype(jnp.int32)
                     * svalid * shift_k(svalid, 0))
             dist = spos - shift_k(spos, 0)
-            # exact match length via first differing window word
-            L = jnp.zeros((n,), jnp.int32)
-            run = jnp.ones((n,), jnp.int32)
+            # match length: count equal whole words, CAPTURE the first
+            # differing word, resolve its partial bytes once at the end
+            # (one _xor_bytes_eq per (lag, word) costs ~6 extra
+            # materialized passes each; capture+resolve is ~2)
+            Lw = jnp.zeros((n,), jnp.int32)
+            run = jnp.ones((n,), jnp.bool_)
+            xw = jnp.zeros((n,), jnp.uint32)
             for j in range(win_words):
                 x = swins[j] ^ shift_k(swins[j], jnp.uint32(0))
-                L = L + run * _xor_bytes_eq(x)
-                run = run * (x == 0).astype(jnp.int32)
+                eq = x == 0
+                xw = jnp.where(run & ~eq, x, xw)
+                run = run & eq
+                Lw = Lw + run
+            lsb = xw & (jnp.uint32(0) - xw)
+            part = jnp.where(xw == 0, 0,
+                   jnp.where(lsb & jnp.uint32(0xFF), 0,
+                   jnp.where(lsb & jnp.uint32(0xFF00), 1,
+                   jnp.where(lsb & jnp.uint32(0xFF0000), 2, 3))))
+            L = 4 * Lw + part.astype(jnp.int32)
             L = jnp.minimum(L, slimit) * same
             L = jnp.where((L == MIN_MATCH) & (dist > toofar3), 0, L)
             better = L > best_l
@@ -189,11 +206,13 @@ def find_matches(block: jax.Array, blen: jax.Array, num_cands: int,
             best = jax.lax.fori_loop(1, K + 1, body, init)
         best_l, best_d = best
         # restore position order: spos is a permutation of 0..n-1.
-        # L(<=64, 7 bits) packs above dist(<=32768, 16 bits) so the
-        # restore carries ONE payload operand instead of two (multi-
-        # operand sorts cost ~linearly per operand on v5e).
+        # L(<=128, 8 bits) packs above dist(<=32768, 16 bits) so the
+        # restore carries ONE payload operand (a 2-op sort measured
+        # 5.7 ms vs 9.4 for two packed 1-op sorts on v5e, r5).
         packed = (best_l << 16) | best_d
-        _, pk = jax.lax.sort([spos, packed], dimension=0, num_keys=1)
+        _, pk = jax.lax.sort(
+            list(jax.lax.optimization_barrier([spos, packed])),
+            dimension=0, num_keys=1)
         return pk >> 16, pk & 0xFFFF
 
     # tiered hash chains (zlib walks one 3-byte chain thousands of
