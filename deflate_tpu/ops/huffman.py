@@ -180,7 +180,8 @@ def _sort_leaves(freq):
     n = freq.shape[0]
     idx0 = jnp.arange(n, dtype=jnp.int32)
     wkey = jnp.where(freq > 0, freq, jnp.int32(_INF))
-    lw, sperm = jax.lax.sort([wkey, idx0], dimension=0, num_keys=2)
+    lw, sperm = jax.lax.sort([wkey, idx0], dimension=0, num_keys=2,
+                             is_stable=False)
     return lw, sperm, jnp.sum(freq > 0)
 
 

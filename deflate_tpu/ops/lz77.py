@@ -147,9 +147,12 @@ def find_matches(block: jax.Array, blen: jax.Array, num_cands: int,
         # the barrier stops XLA fusing the window construction into the
         # sort comparator (re-computing operands per compare; ~5 ms per
         # 256-block bucket, r5 trace)
+        # keys embed pos -> unique -> is_stable=False (a stable TPU
+        # sort carries a hidden iota operand and tie-break compares:
+        # measured 3x slower at 9 operands, r5)
         sorted_ops = jax.lax.sort(
             list(jax.lax.optimization_barrier([key] + wins)),
-            dimension=0, num_keys=1)
+            dimension=0, num_keys=1, is_stable=False)
         skey, swins = sorted_ops[0], sorted_ops[1:]
         spos = skey & 0x7FFF
         shash = skey >> 15
@@ -212,7 +215,7 @@ def find_matches(block: jax.Array, blen: jax.Array, num_cands: int,
         packed = (best_l << 16) | best_d
         _, pk = jax.lax.sort(
             list(jax.lax.optimization_barrier([spos, packed])),
-            dimension=0, num_keys=1)
+            dimension=0, num_keys=1, is_stable=False)
         return pk >> 16, pk & 0xFFFF
 
     # tiered hash chains (zlib walks one 3-byte chain thousands of
