@@ -130,6 +130,7 @@ def main():
     device_decode_mbps = None
     device_decode_e2e_mbps = None
     device_decode_error = None
+    total_footprint_ratio = None
     try:
         if time.perf_counter() - _T0 > DEADLINE_DECODE:
             raise TimeoutError("bench budget: skipping device decode")
@@ -143,6 +144,23 @@ def main():
             E.encode_batch_with_hints, static_argnums=(4,))(
             blocks, blens, live, np.int32(NBLOCKS - 1), LEVEL, 0)[4],
             np.uint8)
+
+        # total-footprint accounting (VERDICT r4 #3): the device decoder
+        # needs the manifest's hints; count stream + binary manifest
+        # (6-bit-packed v3 hints) as the honest compressed size
+        from deflate_tpu.runtime.manifest import Manifest
+        from deflate_tpu.ops.wave import HINT_NONE
+        hlist = []
+        for i in range(NBLOCKS):
+            h = hints[i, :int(-(-int(bits_np[i]) // 64))]
+            keep = np.nonzero(h != HINT_NONE)[0]
+            hlist.append(h[:keep[-1] + 1].tobytes() if len(keep) else b"")
+        man_bytes = Manifest(
+            BLOCK_SIZE, int(offs[-1] + bits_np[-1]),
+            [(int(offs[i]), int(bits_np[i]), BLOCK_SIZE)
+             for i in range(NBLOCKS)], hlist).to_bytes()
+        total_footprint_ratio = round(
+            (len(encoded) + len(man_bytes)) / nbytes, 4)
 
         _mark("compiling wave decode")
         got, derr = WD.inflate_wave(encoded, offs, sizes, hints)
@@ -191,7 +209,7 @@ def main():
         _mark(f"device decode skipped: {device_decode_error}")
 
     # ---- L3 ("best") encode on the same 1 MiB slice -------------------
-    encode_l3_mbps = ratio_l3 = None
+    encode_l3_mbps = ratio_l3 = ratio_l3_full = None
     try:
         if time.perf_counter() - _T0 > DEADLINE_L3:
             raise TimeoutError("bench budget: skipping L3")
@@ -218,6 +236,13 @@ def main():
         encode_l3_mbps = round(L3_BLOCKS * BLOCK_SIZE
                                / ((time.perf_counter() - t0) / 3) / 1e6, 2)
         ratio_l3 = round(len(enc3) / (L3_BLOCKS * BLOCK_SIZE), 4)
+        # full-corpus L3 ratio (VERDICT r4 #9): size-only planning over
+        # all 256 blocks so a regression on the random quarter shows
+        _mark("L3 full-corpus ratio (plan only)")
+        _, _, off3, bits3 = jax.jit(E.plan_sizes, static_argnums=(3,))(
+            blocks, blens, live, 3)
+        ratio_l3_full = round(float(np.asarray(bits3, np.int64).sum())
+                              / 8 / nbytes, 4)
         _mark(f"L3 {encode_l3_mbps} MB/s ratio {ratio_l3} "
               f"(L2 same slice {ratio_l2_slice})")
     except Exception as e:
@@ -263,11 +288,15 @@ def main():
                 best = fdt if best is None else min(best, fdt)
             assert fout == corpus
             foreign_host_mbps = round(nbytes / best / 1e6, 1)
-        _mark("foreign device decode (skeleton + wave)")
-        out = D.decompress(foreign, nbytes, device=True)   # compile+warm
+        # the API default now redirects hint-less device=True to the
+        # host decoder (VERDICT r4 #4); the forced skeleton+wave path
+        # is still measured for the record under its honest name
+        _mark("foreign device decode (FORCED skeleton + wave)")
+        out = D.decompress(foreign, nbytes, device=True,
+                           force_device=True)              # compile+warm
         assert out == corpus
         t0 = time.perf_counter()
-        out = D.decompress(foreign, nbytes, device=True)
+        out = D.decompress(foreign, nbytes, device=True, force_device=True)
         fdt = time.perf_counter() - t0
         assert out == corpus
         foreign_device_mbps = round(nbytes / fdt / 1e6, 1)
@@ -309,8 +338,19 @@ def main():
                                   "chip-bound",
             "encode_L3_mbps": encode_l3_mbps,
             "ratio_L3_1MiB": ratio_l3,
+            "ratio_L3_full": ratio_l3_full,
+            "total_footprint_ratio": total_footprint_ratio,
+            "footprint_note": "stream + binary manifest (v3, 6-bit "
+                              "packed decode hints) over input bytes — "
+                              "the side channel the device decoder "
+                              "needs, counted honestly (the reference "
+                              "is self-contained)",
             "foreign_host_decode_mbps": foreign_host_mbps,
-            "foreign_device_decode_mbps": foreign_device_mbps,
+            "foreign_device_forced_mbps": foreign_device_mbps,
+            "foreign_device_note": "device=True on hint-less streams "
+                                   "now defaults to the host decoder; "
+                                   "this leg measures the FORCED "
+                                   "skeleton+wave path",
             "scaling": scaling,
             "device": str(jax.devices()[0].platform),
             "note": "baseline = reference level-2 ~15 MB/s 1 CPU core "

@@ -7,26 +7,79 @@ blocks independent (quirk Q5 — matches never cross block boundaries), any
 block can be decoded knowing only its bit span, which makes random access
 and distributed decode trivial.
 
-Format (JSON): {version, block_size, total_bits, blocks: [[bit_off,
-bit_len, out_len], ...], hints?: base64, hint_lens?: [...]}.
+Formats:
+  * JSON (debug/interop): {version, block_size, total_bits, blocks:
+    [[bit_off, bit_len, out_len], ...], hints?: base64, hint_lens?}.
+  * binary (production, `to_bytes`/`from_bytes`): magic "DTM3", varint
+    block table, hints bit-packed at 6 bits per chunk.
 
-v2 adds optional per-block DECODE HINTS — each 64-bit chunk's symbol
-entry phase (1 byte/chunk, ~12% of the compressed size) — which the
-encoder derives for free from its emit prefix sums and the wavefront
-device decoder (models/wave_decoder.py) consumes to decode every chunk
-of every block independently on the VPU.
+v2 added optional per-block DECODE HINTS — each 64-bit chunk's symbol
+entry phase — which the encoder derives for free from its emit prefix
+sums and the wavefront device decoder (models/wave_decoder.py)
+consumes to decode every chunk of every block independently on the
+VPU.  v3 packs them: phases are 0..63 (6 bits), trailing no-symbol
+chunks (stored blocks, post-EOB tails) are trimmed, so the hint
+overhead is ~9.4% of the compressed stream instead of v2's ~12.5%
+(VERDICT r4 #3; the reference needs no side channel at all —
+inflate.hpp:277-322 — so the bench reports a total_footprint_ratio
+that counts this).
 """
 from __future__ import annotations
 
 import base64
 import dataclasses
 import json
+import struct
 
 import numpy as np
 
 from deflate_tpu.utils.tables import BLOCK_SIZE
 
-VERSION = 2
+VERSION = 3
+
+_MAGIC = b"DTM3"
+
+
+def _write_varint(out: bytearray, v: int) -> None:
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            return
+
+
+def _read_varint(buf: bytes, p: int):
+    v = s = 0
+    while True:
+        b = buf[p]
+        p += 1
+        v |= (b & 0x7F) << s
+        if not b & 0x80:
+            return v, p
+        s += 7
+
+
+def _pack6(vals: bytes) -> bytes:
+    """Pack byte values < 64 at 6 bits each, LSB-first."""
+    a = np.frombuffer(vals, np.uint8).astype(np.uint32)
+    assert (a < 64).all(), "hint phase out of 6-bit range"
+    n = len(a)
+    bits = np.zeros(n * 6, np.uint8)
+    for i in range(6):
+        bits[i::6] = (a >> i) & 1
+    pad = (-len(bits)) % 8
+    bits = np.concatenate([bits, np.zeros(pad, np.uint8)])
+    return np.packbits(bits.reshape(-1, 8)[:, ::-1]).tobytes()
+
+
+def _unpack6(data: bytes, n: int) -> bytes:
+    bits = np.unpackbits(np.frombuffer(data, np.uint8))
+    bits = bits.reshape(-1, 8)[:, ::-1].reshape(-1)[:n * 6]
+    a = np.zeros(n, np.uint8)
+    for i in range(6):
+        a |= (bits[i::6] << i).astype(np.uint8)
+    return a.tobytes()
 
 
 @dataclasses.dataclass
@@ -45,10 +98,66 @@ class Manifest:
             d["hint_lens"] = [len(h) for h in self.hints]
         return json.dumps(d)
 
+    def to_bytes(self) -> bytes:
+        """Binary form: magic, counts, varint block table (bit_len and
+        out_len delta-free; bit_off implicit as a running sum), then
+        per-block varint hint lengths and one 6-bit-packed hint blob."""
+        out = bytearray(_MAGIC)
+        _write_varint(out, self.block_size)
+        _write_varint(out, self.total_bits)
+        _write_varint(out, len(self.blocks))
+        prev = 0
+        for off, bl, ol in self.blocks:
+            assert off == prev, "blocks must be contiguous"
+            _write_varint(out, bl)
+            _write_varint(out, ol)
+            prev = off + bl
+        if self.hints is None:
+            out.append(0)
+        else:
+            out.append(1)
+            blob = b"".join(self.hints)
+            for h in self.hints:
+                _write_varint(out, len(h))
+            packed = _pack6(blob)
+            _write_varint(out, len(blob))
+            out += packed
+        return bytes(out)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "Manifest":
+        if data[:4] != _MAGIC:
+            raise ValueError("bad manifest magic")
+        p = 4
+        bs, p = _read_varint(data, p)
+        tb, p = _read_varint(data, p)
+        nb, p = _read_varint(data, p)
+        blocks = []
+        off = 0
+        for _ in range(nb):
+            bl, p = _read_varint(data, p)
+            ol, p = _read_varint(data, p)
+            blocks.append((off, bl, ol))
+            off += bl
+        hints = None
+        if data[p]:
+            p += 1
+            lens = []
+            for _ in range(nb):
+                n, p = _read_varint(data, p)
+                lens.append(n)
+            total, p = _read_varint(data, p)
+            blob = _unpack6(data[p:], total)
+            hints, q = [], 0
+            for n in lens:
+                hints.append(blob[q:q + n])
+                q += n
+        return cls(bs, tb, blocks, hints)
+
     @classmethod
     def from_json(cls, s: str) -> "Manifest":
         d = json.loads(s)
-        if d.get("version") not in (1, 2):
+        if d.get("version") not in (1, 2, 3):
             raise ValueError(f"unsupported manifest version {d.get('version')}")
         hints = None
         if d.get("hints") is not None:
@@ -121,9 +230,16 @@ def compress_with_manifest(data, level: int = 2, hints: bool = True):
     bits = np.asarray(bits)
     hlist = None
     if hints:
+        from deflate_tpu.ops.wave import HINT_NONE
+
         harr = np.asarray(res[4], np.uint8)
-        hlist = [harr[i, :int(-(-bits[i] // 64))].tobytes()
-                 for i in range(nblocks)]
+        hlist = []
+        for i in range(nblocks):
+            h = harr[i, :int(-(-bits[i] // 64))]
+            # trim trailing no-symbol chunks (stored blocks -> empty;
+            # post-EOB tail chunks) so every kept phase fits 6 bits
+            keep = np.nonzero(h != HINT_NONE)[0]
+            hlist.append(h[:keep[-1] + 1].tobytes() if len(keep) else b"")
     man = Manifest(BLOCK_SIZE, int(offset[-1] + bits[-1]),
                    [(int(offset[i]), int(bits[i]), int(blens[i]))
                     for i in range(nblocks)], hlist)

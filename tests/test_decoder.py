@@ -79,10 +79,17 @@ def test_corruption_detected():
 def test_reference_corpus_zlib_containers():
     for name in ("weird.dat", "zlib.dat"):
         z = open(f"/root/reference/{name}", "rb").read()
-        assert deflate_tpu.decompress_zlib(z, device=True) == zlib.decompress(z)
+        assert deflate_tpu.decompress_zlib(
+            z, device=True, force_device=True) == zlib.decompress(z)
 
 
 def test_public_api_device_flag():
     data = b"device flag round trip " * 999
     enc = deflate_tpu.compress(data, 2)
-    assert deflate_tpu.decompress(enc, device=True) == data
+    # hint-less device=True now redirects to host by default (r5);
+    # the device path itself stays covered via force_device
+    st = {}
+    assert deflate_tpu.decompress(enc, device=True, stats=st) == data
+    assert st["redirected"] == "device_to_host_default"
+    assert deflate_tpu.decompress(enc, device=True,
+                                  force_device=True) == data

@@ -32,7 +32,8 @@ def test_native_path_fuzz(kind, seed):
     # the rest stay pure C.
     if seed == 3:
         enc = N.deflate(data, 2)
-        assert deflate_tpu.decompress(enc, device=True) == data
+        assert deflate_tpu.decompress(enc, device=True,
+                                      force_device=True) == data
 
 
 def test_native_garbage_fuzz_seeds():

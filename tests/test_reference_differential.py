@@ -94,7 +94,8 @@ def test_leg_a_reference_stream_our_inflate(name):
     stream = ref_deflate(data, 3)
     assert zlib.decompress(stream, -15) == data     # sanity: it's valid
     assert deflate_tpu.decompress(stream) == data
-    assert deflate_tpu.decompress(stream, device=True) == data
+    assert deflate_tpu.decompress(stream, device=True,
+                                  force_device=True) == data
 
 
 @pytest.mark.parametrize("name", list(CORPUS))

@@ -150,7 +150,8 @@ class TestWaveFallbackSurfacing:
         before = D.wave_fallback_count
         stats = {}
         with pytest.warns(RuntimeWarning, match="wavefront decode failed"):
-            out = D.decompress(stream, device=True, stats=stats)
+            out = D.decompress(stream, device=True, force_device=True,
+                               stats=stats)
         assert out == data
         assert D.wave_fallback_count == before + 1
         assert stats["device_path"] != "wave"
@@ -164,5 +165,5 @@ class TestWaveFallbackSurfacing:
         stream = D.compress(data, 2)
         with warnings.catch_warnings():
             warnings.simplefilter("error", RuntimeWarning)
-            out = D.decompress(stream, device=True)
+            out = D.decompress(stream, device=True, force_device=True)
         assert out == data

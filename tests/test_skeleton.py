@@ -128,7 +128,8 @@ class TestDecompressDeviceWave:
         data = b"The quick brown fox jumps over the lazy dog. " * 2000
         enc = deflate_tpu.compress(data, level=2)
         st = {}
-        out = deflate_tpu.decompress(enc, len(data), device=True, stats=st)
+        out = deflate_tpu.decompress(enc, len(data), device=True,
+                                     force_device=True, stats=st)
         assert out == data
         assert st["device_path"] == "wave", st
 
@@ -136,6 +137,7 @@ class TestDecompressDeviceWave:
         data = b"zlib made this stream, not us. " * 6000
         ref = zlib.compress(data, 9)[2:-4]
         st = {}
-        out = deflate_tpu.decompress(ref, len(data), device=True, stats=st)
+        out = deflate_tpu.decompress(ref, len(data), device=True,
+                                     force_device=True, stats=st)
         assert out == data
         assert st["device_path"] == "wave", st
