@@ -178,13 +178,18 @@ def prepare_bucketed(stream: bytes, bit_offsets, out_sizes, hints=None):
         hsel[:, :hav] = hints[sel][:, :hav]
         n = len(sel)
         npad = -(-n // WF.K) * WF.K            # fill kernel cell multiple
-        # exact per-bucket max code lengths: stage A skips compare
-        # rounds past them (a code longer than the table's max can
-        # never satisfy c < lim, so the skipped rounds are dead)
+        # per-bucket max code lengths: stage A skips compare rounds
+        # past them (a code longer than the table's max can never
+        # satisfy c < lim, so the skipped rounds are dead).  Quantized
+        # to tiers (ADVICE r4 #2): maxl/maxd are STATIC jit args, so
+        # every distinct pair would compile a fresh program variant —
+        # tiers bound the variants at most of the skipped-round win.
         maxl = int(min(15, max(1, np.max(
             np.where(cnt_l[sel] > 0, lens16, 0)))))
         maxd = int(min(15, max(1, np.max(
             np.where(cnt_d[sel] > 0, lens16, 0)))))
+        maxl = next(t for t in (10, 12, 15) if maxl <= t)
+        maxd = next(t for t in (13, 15) if maxd <= t)
         packed = _pack_bucket(nw, hsel, out_sizes[sel], md, sel)
         calls.append([sel, None, W64, n, npad, (maxl, maxd)])
         bufs.append(packed)

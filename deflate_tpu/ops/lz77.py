@@ -281,7 +281,7 @@ def lazy_filter(length: jax.Array, dist: jax.Array):
 
 
 def greedy_parse(length: jax.Array, blen: jax.Array, lazy: bool = True,
-                 tile: int = TILE, lazy2: bool = False):
+                 tile: int = TILE):
     """Greedy tokenization, tile-local (TILE bytes) via one lax.scan.
 
     Sequential only in the tile-step dimension; vectorized across tiles
@@ -295,13 +295,13 @@ def greedy_parse(length: jax.Array, blen: jax.Array, lazy: bool = True,
     rule only at token starts avoids the cascade of pre-zeroing matches
     globally, which measurably hurts ratio with window-capped lengths).
 
-    `lazy2` adds a two-position lookahead deferral.  Measured (round 4)
-    and left OFF everywhere: on zipf-vocabulary text it recovers <0.5%
-    while costing 3% on test.bmp/tiny.bmp (the deferred long matches
-    there were the right ones).  The apparent "repetitive text gap" vs
-    zlib-9 is the quirk-Q5 independent-block tax, not parse quality:
-    zlib-9 restricted to the same independent 32 KiB blocks is within
-    0.4% of this parse (experiments/r4_ratio_probe.py).
+    (A two-position lookahead — "lazy2" — was measured in round 4 and
+    REMOVED in round 5 (ADVICE r4): on zipf-vocabulary text it recovers
+    <0.5% while costing 3% on test.bmp/tiny.bmp.  The apparent
+    "repetitive text gap" vs zlib-9 is the quirk-Q5 independent-block
+    tax, not parse quality: zlib-9 restricted to the same independent
+    32 KiB blocks is within 0.4% of this parse,
+    experiments/r4_ratio_probe.py.)
 
     Returns (mark bool [n] — token starts; len_adj int32 [n] — the match
     length actually used at marked positions, 0 for literals).
@@ -311,16 +311,10 @@ def greedy_parse(length: jax.Array, blen: jax.Array, lazy: bool = True,
     nxt = jnp.concatenate([length[1:], jnp.zeros((1,), length.dtype)])
     Lt = length.reshape(nt, tile).T                 # [tile, nt] scan steps
     Nx = nxt.reshape(nt, tile).T
-    if lazy2:
-        nxt2 = jnp.concatenate([length[2:],
-                                jnp.zeros((2,), length.dtype)])
-        Nx2 = nxt2.reshape(nt, tile).T
-    else:
-        Nx2 = jnp.zeros((tile, 1), length.dtype)    # unused carry stub
     base = jnp.arange(nt, dtype=jnp.int32) * tile
 
     def step(p, xs):
-        t, lt, nx, nx2 = xs
+        t, lt, nx = xs
         pos = base + t
         emit = (p == pos) & (pos < blen)
         ml = jnp.minimum(lt, tile - t)
@@ -329,13 +323,6 @@ def greedy_parse(length: jax.Array, blen: jax.Array, lazy: bool = True,
         if lazy:
             nx_t = jnp.minimum(jnp.minimum(nx, tile - t - 1), blen - pos - 1)
             use = use & ~(nx_t > ml)
-        if lazy2:
-            import os as _os
-            g = int(_os.environ.get("DT_LAZY2_GAIN", "1"))
-            maxl = int(_os.environ.get("DT_LAZY2_MAXL", "258"))
-            nx2_t = jnp.minimum(jnp.minimum(nx2, tile - t - 2),
-                                blen - pos - 2)
-            use = use & ~((nx2_t > ml + g) & (ml <= maxl))
         adv = jnp.where(emit, jnp.where(use, ml, 1), 0)
         return p + adv, (emit, jnp.where(use, ml, 0))
 
@@ -343,7 +330,7 @@ def greedy_parse(length: jax.Array, blen: jax.Array, lazy: bool = True,
     # sequential lax.scan steps cost ~4-20 us EACH on v5e regardless of
     # body size (CLAUDE.md cost model); unrolling folds 8 steps into one
     # dispatched program step
-    _, (mark_t, len_t) = jax.lax.scan(step, base, (ts, Lt, Nx, Nx2),
+    _, (mark_t, len_t) = jax.lax.scan(step, base, (ts, Lt, Nx),
                                       unroll=8)
     mark = mark_t.T.reshape(n)                      # [TILE,nt] -> [n]
     len_adj = len_t.T.reshape(n)

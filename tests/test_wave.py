@@ -392,6 +392,39 @@ def test_stagea_pallas_equivalence():
     assert (np.asarray(P1x) == np.asarray(P1p)).all()
 
 
+def test_stageab_fused_equivalence_quick():
+    """Reduced-shape fused A+B equivalence in the quick tier (ADVICE r4
+    #3): one small W64, 2 blocks — the full sweep stays in slow."""
+    from deflate_tpu.ops.wave_stagea import SUM_KEYS, decode_mark_pallas
+
+    rng = np.random.default_rng(5)
+    data = (rng.integers(97, 123, 2600, dtype=np.uint8).tobytes()
+            + np.tile(rng.integers(0, 256, 53, dtype=np.uint8),
+                      40).tobytes())
+    stream, offs = _encode_own(data)
+    md = W.parse_headers_host(stream, offs)
+    hints, span = W.hints_from_walk_host(stream, offs)
+    W64 = 128
+    nwords = jnp.asarray(W.prepare_windows(stream, md["data_start"], W64))
+    B = nwords.shape[0]
+    hs = np.full((B, W64), W.HINT_NONE, np.uint8)
+    hs[:, :min(W64, hints.shape[1])] = hints[:, :W64]
+    hsj = jnp.asarray(hs, jnp.int32)
+    mdj = {k: jnp.asarray(v) for k, v in md.items()
+           if k.startswith(("l_", "d_"))}
+
+    A0x, P1x = W.decode_positions(nwords, mdj, W64)
+    sums_x, rk_x = W.chunk_automaton(A0x, hsj, W64)
+    mk_x = W._unpack_marks(sums_x["Mlo"], sums_x["Mhi"], W64) > 0
+    A0cx, P1cx = W.chunk_compact(A0x, P1x, rk_x, mk_x)
+    A0cp, P1cp, sums_p = decode_mark_pallas(
+        nwords, hsj, mdj, W64, None, interpret=True)
+    assert (np.asarray(A0cx) == np.asarray(A0cp)).all()
+    assert (np.asarray(P1cx) == np.asarray(P1cp)).all()
+    for k in SUM_KEYS:
+        assert (np.asarray(sums_x[k]) == np.asarray(sums_p[k])).all(), k
+
+
 @pytest.mark.slow
 def test_stageab_fused_equivalence():
     """decode_mark_pallas (fused A+B, interpret) matches decode_positions
