@@ -146,13 +146,19 @@ def find_matches(block: jax.Array, blen: jax.Array, num_cands: int,
         key = jnp.where(valid, (h << 15) | pos_pm, (1 << 30) + pos_pm)
         # the barrier stops XLA fusing the window construction into the
         # sort comparator (re-computing operands per compare; ~5 ms per
-        # 256-block bucket, r5 trace)
-        # keys embed pos -> unique -> is_stable=False (a stable TPU
-        # sort carries a hidden iota operand and tie-break compares:
-        # measured 3x slower at 9 operands, r5)
-        sorted_ops = jax.lax.sort(
-            list(jax.lax.optimization_barrier([key] + wins)),
-            dimension=0, num_keys=1, is_stable=False)
+        # 256-block bucket, r5 trace); keys embed pos -> unique ->
+        # is_stable=False (a stable TPU sort carries a hidden iota
+        # operand and tie-break compares: measured 3x slower at 9
+        # operands, r5).  Both ONLY for the fast level's shallow config:
+        # with 33 operands (win_words=32, best level) the unstable
+        # lowering sent the r5 TPU compile past 40 minutes.
+        if win_words <= 8:
+            sorted_ops = jax.lax.sort(
+                list(jax.lax.optimization_barrier([key] + wins)),
+                dimension=0, num_keys=1, is_stable=False)
+        else:
+            sorted_ops = jax.lax.sort([key] + wins, dimension=0,
+                                      num_keys=1)
         skey, swins = sorted_ops[0], sorted_ops[1:]
         spos = skey & 0x7FFF
         shash = skey >> 15
@@ -213,9 +219,12 @@ def find_matches(block: jax.Array, blen: jax.Array, num_cands: int,
         # restore carries ONE payload operand (a 2-op sort measured
         # 5.7 ms vs 9.4 for two packed 1-op sorts on v5e, r5).
         packed = (best_l << 16) | best_d
-        _, pk = jax.lax.sort(
-            list(jax.lax.optimization_barrier([spos, packed])),
-            dimension=0, num_keys=1, is_stable=False)
+        if win_words <= 8:
+            _, pk = jax.lax.sort(
+                list(jax.lax.optimization_barrier([spos, packed])),
+                dimension=0, num_keys=1, is_stable=False)
+        else:
+            _, pk = jax.lax.sort([spos, packed], dimension=0, num_keys=1)
         return pk >> 16, pk & 0xFFFF
 
     # tiered hash chains (zlib walks one 3-byte chain thousands of
