@@ -41,7 +41,7 @@ def _decode_filled_core(nw, hints, sizes, mdj, W64: int, npad: int,
     n = nw.shape[0]
     litwords, rec0, rec1, nmatch, prod, e = W.wave_decode(
         nw, hints, sizes, mdj, W64, interpret, maxl=maxl, maxd=maxd)
-    recs = jnp.stack([rec0, rec1], axis=2).reshape(n, 2 * W.NM)
+    recs = WF.pack_fill_recs(rec0, rec1)
     if npad != n:
         litwords = jnp.pad(litwords, ((0, npad - n), (0, 0)))
         recs = jnp.pad(recs, ((0, npad - n), (0, 0)))
@@ -246,24 +246,22 @@ def inflate_wave_device(stream: bytes, bit_offsets, out_sizes,
     hints:       [B, >=W64] uint8 per-chunk entry phases (manifest v2);
                  derived by a host walk when absent.
     """
-    # pipelined (VERDICT r4 #7): each bucket's h2d + device programs are
-    # dispatched the moment its host prep (window extraction, packing)
-    # finishes — JAX dispatch is async, so the device crunches bucket k
-    # while the host builds bucket k+1's windows; the stored-block
-    # window copy also runs while device programs are in flight
-    prep = _common_prep(stream, bit_offsets, out_sizes, hints)
+    # ONE h2d for all buckets (prepare_bucketed): per-bucket "pipelined"
+    # dispatch was measured in r5 to HALVE e2e on the axon tunnel (23.0
+    # -> 11.1 MB/s) because every h2d pays the ~26 ms round-trip
+    # regardless of size — transfer latency dominates host-prep overlap
+    # on this link.  The device programs still dispatch asynchronously,
+    # and the stored-block window copy runs while they are in flight.
+    prep, calls = prepare_bucketed(stream, bit_offsets, out_sizes, hints)
     B, md, err = prep["B"], prep["md"], prep["err"]
     words = np.zeros((B, WF.OW), np.int32)
     produced = np.zeros(B, np.int64)
-    calls = []
     outs = []
-    for sel, packed, W64, n, npad, (ml, mdx) in _iter_buckets(prep):
-        buf = jnp.asarray(packed)
+    for sel, (buf, off), W64, n, npad, (ml, mdx) in calls:
         outs.append(wave_decode_packed(buf, W64, n, npad, interpret,
-                                       off=0, maxl=ml, maxd=mdx))
-        calls.append((sel, None, W64, n, npad, (ml, mdx)))
-    if prep["stored_fn"] is not None:
-        words[prep["sidx"]] = prep["stored_fn"]()
+                                       off=off, maxl=ml, maxd=mdx))
+    if prep["stored_words"] is not None:
+        words[prep["sidx"]] = prep["stored_words"]
         produced[prep["sidx"]] = md["stored_len"][prep["sidx"]]
     # concatenate on device and pull ONCE (each d2h costs a tunnel
     # round-trip on top of the ~80 MB/s transfer)

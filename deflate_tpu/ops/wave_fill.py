@@ -54,8 +54,46 @@ def _srl(x, n):
     return jax.lax.shift_right_logical(x, n)
 
 
+def pack_fill_recs(rec0, rec1):
+    """VPU prologue for fill_matches: pre-classify each match record and
+    pack class-specific fields so the scalar core's per-record decode is
+    minimal (measured ~70 cycles/record in r4; every saved scalar op is
+    ~2 cycles across thousands of records per block).
+
+    Input: rec0 [B, NM] = opos | len3<<16, rec1 [B, NM] = dist (the
+    wave_decode/merge_match_runs format).  Output: interleaved
+    [B, 2*NM] int32 in the packed layout _fill_block(pre=True) reads:
+
+      r0 = opos(15) | tiny<<15 | field(15)<<16 | short<<31
+           tiny  (len<=4 & dist>=4):          field bit0 = (len == 4)
+           short (len<=8 & dist>=8, !tiny):   field = len3
+           general (everything else):         field = len3
+      r1 = max(opos - dist, 0)  — the source byte position, clamped so
+           SMEM reads stay in-bounds even for invalid streams (the wave
+           chain validation flags those and the host falls back; the
+           kernel just has to stay memory-safe).  The general path
+           recovers dist = opos - r1, exact whenever dist <= opos —
+           always true for conforming self-contained blocks (quirk Q5).
+
+    opos <= 32767 and len3 <= 32765 (block output is 32 KiB), so both
+    15-bit fields fit.  Hole records (rec0 == -1) pack to junk but sit
+    past nmatch after merge_match_runs' compaction and are never read.
+    """
+    p = rec0 & 0xFFFF
+    len3 = _srl(rec0, 16)
+    rem = len3 + 3
+    dist = rec1
+    tiny = (rem <= 4) & (dist >= 4)
+    short = (rem <= 8) & (dist >= 8) & ~tiny
+    fld = jnp.where(tiny, (rem >= 4).astype(i32), len3 & 0x7FFF)
+    r0 = ((p & 0x7FFF) | (tiny.astype(i32) << 15) | (fld << 16)
+          | (short.astype(i32) << 31))
+    r1 = jnp.maximum(p - dist, 0)
+    return jnp.stack([r0, r1], axis=2).reshape(rec0.shape[0], -1)
+
+
 def _fill_block(mem, sb: "jax.Array", recs, rb, nm, p0,
-                fetch_window) -> None:
+                fetch_window, pre: bool = False) -> None:
     """Fill one block's matches into mem[sb + ...] (SMEM scratch).
 
     mem:   SMEM ref holding this block's output bytes (word-packed,
@@ -231,24 +269,65 @@ def _fill_block(mem, sb: "jax.Array", recs, rb, nm, p0,
             fetch_window(wi)
         lim = jnp.minimum(nm - wi * RW, RW)
 
-        def rec_body(mi, _):
-            r0 = recs[rb + 2 * mi]
-            r1 = recs[rb + 2 * mi + 1]
-            p = (r0 & 0xFFFF) + p0
-            # len3 is 16 bits: wave.merge_match_runs fuses same-distance
-            # chains into run records up to the whole block
-            rem = (_srl(r0, 16) & 0xFFFF) + 3
-            dist = r1
-            tiny = (rem <= 4) & (dist >= 4)
-            short = (rem <= 8) & (dist >= 8)
+        if pre:
+            # packed pack_fill_recs layout: class bits + clamped source
+            # position precomputed on the VPU — the scalar core only
+            # tests single bits and never touches max()/dist compares
+            def rec_body(mi):
+                r0 = recs[rb + 2 * mi]
+                r1 = recs[rb + 2 * mi + 1]
+                p = r0 & 0x7FFF
 
-            def not_tiny(a):
-                jax.lax.cond(short, fused8, general, a)
+                def tiny_fn(_):
+                    v0 = funnel1(r1)
+                    wr4(p, v0, jnp.where((r0 & 0x10000) != 0,
+                                         i32(-1), i32(0xFFFFFF)))
 
-            jax.lax.cond(tiny, fused4, not_tiny, (p, rem, dist))
+                def not_tiny(_):
+                    rem = (_srl(r0, 16) & 0x7FFF) + 3
+
+                    def short_fn(_):
+                        # short => rem in 5..8, so m0 is always -1
+                        v0, v1 = funnel(r1)
+                        m1 = jnp.where(rem >= 8, i32(-1),
+                                       (i32(1) << (8 * (rem - 4))) - 1)
+                        wr8(p, v0, v1, i32(-1), m1)
+
+                    def gen_fn(_):
+                        general((p, rem, p - r1))
+
+                    jax.lax.cond(r0 < 0, short_fn, gen_fn, 0)
+
+                jax.lax.cond((r0 & 0x8000) != 0, tiny_fn, not_tiny, 0)
+        else:
+            def rec_body(mi):
+                r0 = recs[rb + 2 * mi]
+                r1 = recs[rb + 2 * mi + 1]
+                p = (r0 & 0xFFFF) + p0
+                # len3 is 16 bits: wave.merge_match_runs fuses
+                # same-distance chains into run records
+                rem = (_srl(r0, 16) & 0xFFFF) + 3
+                dist = r1
+                tiny = (rem <= 4) & (dist >= 4)
+                short = (rem <= 8) & (dist >= 8)
+
+                def not_tiny(a):
+                    jax.lax.cond(short, fused8, general, a)
+
+                jax.lax.cond(tiny, fused4, not_tiny, (p, rem, dist))
+
+        # two records per loop iteration: halves the while-loop
+        # counter/compare/branch overhead per record
+        def pair_body(mj, _):
+            rec_body(2 * mj)
+            rec_body(2 * mj + 1)
             return 0
 
-        jax.lax.fori_loop(0, lim, rec_body, 0)
+        jax.lax.fori_loop(0, _srl(lim, 1), pair_body, 0)
+
+        @pl.when((lim & 1) != 0)
+        def _():
+            rec_body(lim - 1)
         return 0
 
     jax.lax.fori_loop(0, (nm + RW - 1) // RW, do_window, 0)
@@ -285,7 +364,7 @@ def _kernel(nm_ref, lit_ref, rec_ref, out_ref, outw, recs,
                 recs.at[pl.ds(j * RECP, 2 * RW)], sems_rec.at[j]).wait()
 
         _fill_block(outw, i32(j * OWP), recs, i32(j * RECP),
-                    nm_ref[g * K + j], i32(0), fetch_window)
+                    nm_ref[g * K + j], i32(0), fetch_window, pre=True)
 
     cps_out = []
     for j in range(K):
@@ -403,7 +482,8 @@ def fill_matches_hist(litwords, recs, nmatch, sizes, B: int,
 
 @functools.partial(jax.jit, static_argnames=("B", "interpret"))
 def fill_matches(litwords, recs, nmatch, B: int, interpret: bool = False):
-    """litwords [B, OW] int32, recs [B, 2*NM] interleaved, nmatch [B].
+    """litwords [B, OW] int32, recs [B, 2*NM] interleaved in the
+    pack_fill_recs layout (callers build it from rec0/rec1), nmatch [B].
     B must be a multiple of K (callers pad).  Returns [B, OW]."""
     assert B % K == 0, B
     gs = pltpu.PrefetchScalarGridSpec(

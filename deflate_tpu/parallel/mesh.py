@@ -216,7 +216,7 @@ def decode_mesh_wave(nw, hints, sizes, stored, mdj, W64: int, mesh: Mesh,
         if 2 * W64 + 4 < WF.OW:
             win = jnp.pad(win, ((0, 0), (0, WF.OW - (2 * W64 + 4))))
         litw = jnp.where(stored[:, None], win[:, :WF.OW], litw)
-        recs = jnp.stack([r0, r1], axis=2).reshape(Bl, 2 * W.NM)
+        recs = WF.pack_fill_recs(r0, r1)
         nm = jnp.where(stored, 0, nm)
         prod = jnp.where(stored, sizes, prod)
         e = jnp.where(stored, 0, e)

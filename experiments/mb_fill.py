@@ -17,7 +17,7 @@ def main():
             opos = np.sort(rng.integers(8, 32000, (B, nrec)))
             rec0[:, :nrec] = opos | (3 << 16)   # len 6
         rec1 = np.full((B, NM), 4, np.int32)
-        recs = jnp.asarray(np.stack([rec0, rec1], 2).reshape(B, 2*NM))
+        recs = WF.pack_fill_recs(jnp.asarray(rec0), jnp.asarray(rec1))
         nm = jnp.full((B,), nrec, jnp.int32)
         out = WF.fill_matches(lit, recs, nm, B)
         int(np.asarray(out[0,0]))

@@ -103,7 +103,7 @@ def main():
     full = jax.jit(P(W.wave_decode, W64=W64))
     timeit("A-F wave_decode", full, nw, hsj, sizes, mdj)
     lw, r0, r1, nm, prod, e = full(nw, hsj, sizes, mdj)
-    recs = jnp.stack([r0, r1], axis=2).reshape(B, 2 * W.NM)
+    recs = WF.pack_fill_recs(r0, r1)
     timeit("G fill_matches", WF.fill_matches, lw, recs, nm, B)
 
     from deflate_tpu.models import wave_decoder as WD
@@ -114,7 +114,7 @@ def main():
     def decode_then_stack(nw, hsj, sizes, mdj):
         lw, r0, r1, nm, prod, e = W.wave_decode(nw, hsj, sizes, mdj,
                                                 W64=W64)
-        recs = jnp.stack([r0, r1], axis=2).reshape(B, 2 * W.NM)
+        recs = WF.pack_fill_recs(r0, r1)
         return lw, recs, nm, e
     timeit("A-F + stack (no fill)", decode_then_stack, nw, hsj, sizes,
            mdj)

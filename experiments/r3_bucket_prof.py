@@ -93,7 +93,7 @@ def main():
         timeit(f"bucket W64={W64:5d} A-F only",
                lambda: af(nw, hs, sz, mdj)[0])
         lw, r0, r1, nm, prod, e = af(nw, hs, sz, mdj)
-        recs = jnp.stack([r0, r1], axis=2).reshape(n, 2 * W.NM)
+        recs = WF.pack_fill_recs(r0, r1)
         if npad != n:
             lw2 = jnp.pad(lw, ((0, npad - n), (0, 0)))
             recs2 = jnp.pad(recs, ((0, npad - n), (0, 0)))

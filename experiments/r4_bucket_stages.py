@@ -60,7 +60,7 @@ def main():
         if upto == "af":
             return (jnp.sum(lw[:, 0]) + jnp.sum(r0[:, 0]) + jnp.sum(nm)
                     + jnp.sum(prod) + jnp.sum(e))
-        recs = jnp.stack([r0, r1], axis=2).reshape(n, 2 * W.NM)
+        recs = WF.pack_fill_recs(r0, r1)
         filled = WF.fill_matches(lw, recs, nm, n)
         return jnp.sum(filled[:, 0]) + jnp.sum(prod)
 

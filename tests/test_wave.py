@@ -507,7 +507,8 @@ def test_fill_matches_adversarial_overlaps():
             rec0[b, m] = (o_ & 0xFFFF) | ((ln - 3) << 16)
             rec1[b, m] = d
         nmatch[b] = len(sub)
-    recs = np.stack([rec0, rec1], axis=2).reshape(B, 2 * W.NM)
+    recs = np.asarray(WF.pack_fill_recs(jnp.asarray(rec0),
+                                        jnp.asarray(rec1)))
     got = np.asarray(WF.fill_matches(
         jnp.asarray(lit), jnp.asarray(recs), jnp.asarray(nmatch), B,
         interpret=True))
